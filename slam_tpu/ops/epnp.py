@@ -1,0 +1,206 @@
+"""Batched EPnP perspective-n-point solver in pure JAX.
+
+Replaces ``cv2.solvePnP(flags=SOLVEPNP_EPNP)`` (reference:
+final_project/algorithms/ransac.py:98,162,190, backend/GTSam/bundle.py:68,
+backend/GTSam/gtsam_utils.py:133). Where the reference calls a C++ solver
+once per RANSAC hypothesis in a Python loop, this implementation is fully
+vmappable: thousands of 4-point hypotheses become one batched kernel
+(two small eigendecompositions per hypothesis: 3x3 and 12x12).
+
+Algorithm: Lepetit et al., "EPnP: An Accurate O(n) Solution to the PnP
+Problem" — control-point barycentric formulation, single-beta (N=1) case,
+followed by Umeyama/Procrustes alignment. For accuracy the caller should
+follow up with :func:`refine_pose_gn` on all inliers (the reference likewise
+re-solves on the full inlier set, ransac.py:190-193).
+
+Convention: returns extrinsics ``T_w2c`` (world -> camera), the same object
+``cv2.solvePnP`` returns as (rvec, tvec).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import se3, stereo
+
+
+def _control_points(pw: jnp.ndarray) -> jnp.ndarray:
+    """World control points (4, 3): centroid + scaled principal axes."""
+    c0 = jnp.mean(pw, axis=0)
+    A = pw - c0
+    n = pw.shape[0]
+    cov = (A.T @ A) / n
+    lam, V = jnp.linalg.eigh(cov + 1e-12 * jnp.eye(3, dtype=pw.dtype))
+    # scale axes by sqrt of variance; guard tiny eigenvalues (planar/degenerate)
+    s = jnp.sqrt(jnp.maximum(lam, 1e-8))
+    cs = c0 + (V * s[None, :]).T  # rows: c0 + s_k * v_k
+    return jnp.concatenate([c0[None, :], cs], axis=0)
+
+
+def _barycentric(pw: jnp.ndarray, ctrl: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric coordinates (N, 4) of pw w.r.t. 4 control points."""
+    B = (ctrl[1:] - ctrl[0]).T  # 3x3, columns = basis vectors
+    Binv = jnp.linalg.inv(B + 1e-12 * jnp.eye(3, dtype=pw.dtype))
+    a123 = (pw - ctrl[0]) @ Binv.T  # (N, 3)
+    a0 = 1.0 - jnp.sum(a123, axis=-1, keepdims=True)
+    return jnp.concatenate([a0, a123], axis=-1)
+
+
+def solve_pnp_epnp(
+    pw: jnp.ndarray, pix: jnp.ndarray, calib: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve PnP from N>=4 world<->pixel correspondences.
+
+    Args:
+      pw:   (N, 3) world points.
+      pix:  (N, 2) pixel observations in the left camera.
+      calib: flat [fx, fy, cx, cy, b] vector (b unused here).
+
+    Returns:
+      (T_w2c 4x4, ok flag). ``ok`` is False for degenerate geometry; the
+      returned T is still finite (identity-ish fallback) so downstream
+      masked pipelines never see NaNs.
+    """
+    fx, fy, cx, cy = calib[0], calib[1], calib[2], calib[3]
+    n = pw.shape[0]
+
+    ctrl_w = _control_points(pw)  # (4, 3)
+    alphas = _barycentric(pw, ctrl_w)  # (N, 4)
+
+    u, v = pix[..., 0], pix[..., 1]
+    # M rows: for point i, two rows over 12 unknowns (4 ctrl pts x 3 coords):
+    #   sum_j a_ij * (fx * cx_j            + (cx - u_i) * cz_j) = 0
+    #   sum_j a_ij * (        fy * cy_j    + (cy - v_i) * cz_j) = 0
+    zeros = jnp.zeros_like(alphas)
+    row_u = jnp.stack(
+        [alphas * fx, zeros, alphas * (cx - u)[:, None]], axis=-1
+    ).reshape(n, 12)
+    row_v = jnp.stack(
+        [zeros, alphas * fy, alphas * (cy - v)[:, None]], axis=-1
+    ).reshape(n, 12)
+    M = jnp.concatenate([row_u, row_v], axis=0)  # (2N, 12)
+
+    MtM = M.T @ M
+    _, V = jnp.linalg.eigh(MtM)
+    vker = V[:, 0]  # smallest-eigenvalue eigenvector
+    ctrl_c = vker.reshape(4, 3)  # camera control points up to scale/sign
+
+    # Scale: match pairwise control-point distances (6 pairs).
+    ii, jj = jnp.triu_indices(4, k=1)
+    dw = jnp.linalg.norm(ctrl_w[ii] - ctrl_w[jj], axis=-1)
+    dc = jnp.linalg.norm(ctrl_c[ii] - ctrl_c[jj], axis=-1)
+    denom = jnp.sum(dc * dc)
+    beta = jnp.sum(dc * dw) / jnp.where(denom < 1e-12, 1.0, denom)
+    ctrl_c = ctrl_c * beta
+
+    # Camera-frame points; fix sign so mean depth is positive.
+    pc = alphas @ ctrl_c  # (N, 3)
+    sign = jnp.where(jnp.mean(pc[:, 2]) < 0.0, -1.0, 1.0)
+    pc = pc * sign
+
+    # Procrustes: R, t with pc ~= R @ pw + t.
+    wbar = jnp.mean(pw, axis=0)
+    cbar = jnp.mean(pc, axis=0)
+    H = (pw - wbar).T @ (pc - cbar)  # 3x3
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.linalg.det(Vt.T @ U.T)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype=pw.dtype)).at[2, 2].set(d)
+    R = Vt.T @ D @ U.T
+    t = cbar - R @ wbar
+
+    ok = jnp.isfinite(R).all() & jnp.isfinite(t).all() & (denom > 1e-12)
+    eye = jnp.eye(3, dtype=pw.dtype)
+    R = jnp.where(ok, R, eye)
+    t = jnp.where(ok, t, jnp.zeros_like(t))
+    return se3.make_T(R, t), ok
+
+
+# vmapped variant over a batch of hypotheses: (H, N, 3), (H, N, 2) -> (H,4,4)
+solve_pnp_epnp_batched = jax.vmap(solve_pnp_epnp, in_axes=(0, 0, None))
+
+# NOTE: the single-beta EPnP above needs n >= 6 for a generically
+# one-dimensional nullspace. For *minimal* RANSAC hypotheses this framework
+# uses 3-point 3D-3D alignment instead (:func:`rigid_align`) — both frames
+# of a stereo pair have metric 3D, so hypothesis generation does not need
+# PnP at all, and the smaller minimal set (3 vs 4) needs fewer hypotheses
+# for the same confidence. EPnP remains the n>=6 re-solve / external API.
+
+
+def rigid_align(
+    pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted closed-form rigid alignment: find T with pb ~= T * pa.
+
+    Kabsch/Umeyama without scale. Used for minimal-set hypothesis generation
+    in RANSAC (3 stereo-triangulated point pairs) and for loop-closure
+    relative-pose seeds.
+
+    Args:
+      pa: (N, 3) source points, pb: (N, 3) target points, w: (N,) weights.
+
+    Returns:
+      (T 4x4, ok flag).
+    """
+    if w is None:
+        w = jnp.ones(pa.shape[0], dtype=pa.dtype)
+    wsum = jnp.sum(w) + 1e-12
+    abar = jnp.sum(pa * w[:, None], axis=0) / wsum
+    bbar = jnp.sum(pb * w[:, None], axis=0) / wsum
+    A = (pa - abar) * w[:, None]
+    B = pb - bbar
+    H = A.T @ B  # 3x3 cross-covariance
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.linalg.det(Vt.T @ U.T)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype=pa.dtype)).at[2, 2].set(d)
+    R = Vt.T @ D @ U.T
+    t = bbar - R @ abar
+    # degenerate if points are (near-)collinear: two tiny singular values
+    ok = jnp.isfinite(R).all() & (S[1] > 1e-6 * (S[0] + 1e-12))
+    R = jnp.where(ok, R, jnp.eye(3, dtype=pa.dtype))
+    t = jnp.where(ok, t, jnp.zeros_like(t))
+    return se3.make_T(R, t), ok
+
+
+rigid_align_batched = jax.vmap(rigid_align, in_axes=(0, 0, None))
+
+
+def refine_pose_gn(
+    T_w2c: jnp.ndarray,
+    pw: jnp.ndarray,
+    meas: jnp.ndarray,
+    weights: jnp.ndarray,
+    calib: jnp.ndarray,
+    iters: int = 5,
+) -> jnp.ndarray:
+    """Gauss-Newton pose refinement on stereo reprojection residuals.
+
+    Minimizes sum_i w_i * ||project(T, pw_i) - meas_i||^2 over T in SE(3),
+    where meas is the stereo triplet (uL, uR, v). This replaces the
+    reference's final all-inlier ``cv2.solvePnP`` re-solve
+    (ransac.py:190-193) with a strictly more accurate local optimization.
+
+    All shapes static; masked points get weight 0. Runs a fixed number of
+    iterations (lax.fori_loop) — XLA-friendly, no data-dependent trips.
+    """
+
+    def residuals(T):
+        pred = stereo.project(calib, se3.transform_points(T, pw[None])[0])
+        return (pred - meas) * weights[:, None]
+
+    def step(_, T):
+        def r_of_xi(xi):
+            return residuals(se3.retract(T, xi)).reshape(-1)
+
+        J = jax.jacfwd(r_of_xi)(jnp.zeros(6, dtype=T.dtype))  # (3N, 6)
+        r = r_of_xi(jnp.zeros(6, dtype=T.dtype))
+        H = J.T @ J + 1e-6 * jnp.eye(6, dtype=T.dtype)
+        g = J.T @ r
+        xi = -jnp.linalg.solve(H, g)
+        T_new = se3.retract(T, xi)
+        # Accept only improving, finite steps.
+        better = jnp.sum(residuals(T_new) ** 2) < jnp.sum(r * r)
+        better = better & jnp.isfinite(T_new).all()
+        return jnp.where(better, T_new, T)
+
+    return jax.lax.fori_loop(0, iters, step, T_w2c)
