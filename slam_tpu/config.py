@@ -1,0 +1,119 @@
+"""Framework configuration.
+
+Replaces the reference's hard-coded per-machine constants module
+(final_project/arguments.py:1-25 — absolute dataset paths switched on a
+MAC/MICHAEL/ELYASHIV flag) and the thresholds scattered at point of use
+(ransac.py:9, loop_closure.py:15-20, bundle.py:233-239) with one immutable,
+serializable dataclass tree. Every stage takes an explicit config — no
+module-level globals, which also keeps jit tracing pure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    max_kp: int = 2048          # feature budget (ref: SIFT nfeatures=2500)
+    grid_cell: int = 16         # gridded top-K cell size (px)
+    border: int = 12            # detection border margin (px)
+    min_response: float = 1e-7  # Harris response floor
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    stereo_dy: float = 2.0        # |y_l - y_r| gate (ref matching.py:62)
+    stereo_min_disp: float = 2.0  # x_l > x_r + margin (ref matching.py:63)
+    max_desc_dist: float = 1.0    # descriptor distance cutoff (sq-L2, unit norm)
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    num_hypotheses: int = 512   # fixed batched budget >= ref adaptive worst case
+    threshold_px: float = 2.0   # reprojection agreement gate (ref ransac.py:44-54)
+    refine_iters: int = 5       # GN refinement iterations
+    min_inliers: int = 10       # pair considered tracked if >= this
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    # reference bundle.py:233-239 criteria
+    min_gap: int = 5
+    max_gap: int = 21
+    max_dist_m: float = 8.0
+    min_track_survival: float = 0.2
+    max_angle_deg: float = 12.0
+
+
+@dataclass(frozen=True)
+class BundleConfig:
+    max_poses: int = 24         # window size cap (ref max gap 21 + endpoints)
+    max_landmarks: int = 512    # padded landmark slots per window
+    max_obs: int = 4096         # padded (track, frame) stereo factors per window
+    lm_iters: int = 20          # LM outer iterations
+    meas_sigma_px: float = 1.0  # stereo factor sigma
+    prior_sigma: float = 1e-3   # gauge prior on first pose
+    min_depth: float = 0.1      # landmark pruning (ref z<0)
+    max_depth: float = 1000.0   # landmark pruning (ref z>1000, bundle.py:184)
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    # reference loop_closure.py:15-20
+    mahalanobis_thresh: float = 220.0
+    far_factor: float = 7.0
+    min_inliers: int = 120
+    max_candidates: int = 15
+    keyframe_gap: int = 10
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    chunk_frames: int = 32      # frames per device batch in the frontend
+    desc_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    matching: MatchConfig = field(default_factory=MatchConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    keyframes: KeyframeConfig = field(default_factory=KeyframeConfig)
+    bundle: BundleConfig = field(default_factory=BundleConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    seed: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "SlamConfig":
+        raw = json.loads(text)
+        sub = {
+            "features": FeatureConfig,
+            "matching": MatchConfig,
+            "ransac": RansacConfig,
+            "keyframes": KeyframeConfig,
+            "bundle": BundleConfig,
+            "loop": LoopConfig,
+            "runtime": RuntimeConfig,
+        }
+        kwargs = {}
+        for k, v in raw.items():
+            kwargs[k] = sub[k](**v) if k in sub and isinstance(v, dict) else v
+        return SlamConfig(**kwargs)
+
+    def save(self, path: str | Path) -> None:
+        Path(path).write_text(self.to_json())
+
+    @staticmethod
+    def load(path: str | Path) -> "SlamConfig":
+        return SlamConfig.from_json(Path(path).read_text())
+
+
+DEFAULT_CONFIG = SlamConfig()

@@ -1,0 +1,257 @@
+"""Batched stereo visual-odometry frontend.
+
+Re-designs the reference's sequential per-frame loop
+(final_project/backend/database/database.py:30-89: per frame — detect,
+stereo match, L-L match to previous frame, RANSAC-PnP) as a *chunked batch
+pipeline*: a whole block of frames is detected/described/matched/solved in
+one jitted call, with only a one-frame carry between chunks. The per-frame
+work of the reference (SURVEY.md §3.2 hot path) is identical and
+independent across frames, so on TPU it becomes:
+
+  chunk of F frames
+    -> detect+describe 2F images          (vmapped Harris + descriptor)
+    -> F stereo associations              (vmapped MXU matmul matching)
+    -> F-1 temporal associations          (vmapped MXU matmul matching)
+    -> F-1 robust poses                   (vmapped 512-hypothesis RANSAC)
+
+Global pose chaining is a parallel prefix product (associative scan) — the
+only sequential dependency in the whole frontend, computed in O(log F).
+
+The adaptive RANSAC iteration count of the reference (ransac.py:59-67) is
+replaced by a fixed hypothesis budget that dominates the worst case — see
+ops/ransac.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..ops import features, matching, ransac, se3, stereo
+
+
+@dataclass
+class FrontendResult:
+    """Host-side SoA output of the frontend over a full sequence.
+
+    Everything is fixed-width per frame (K = max_kp slots, masked), the
+    tensorized replacement for the reference's per-frame kp/desc/link
+    objects.
+    """
+
+    xy: np.ndarray            # (F, K, 2) left-image keypoints
+    desc: np.ndarray          # (F, K, D) descriptors (bf16->f32 on host)
+    links: np.ndarray         # (F, K, 3) stereo links (xl, xr, y)
+    link_valid: np.ndarray    # (F, K) stereo-gated validity
+    match_prev: np.ndarray    # (F, K) idx into frame f-1 slots, -1 if none
+    match_dist: np.ndarray    # (F, K) descriptor distance of that match
+    inlier_prev: np.ndarray   # (F, K) RANSAC-inlier flag for match_prev
+    T_rel: np.ndarray         # (F, 4, 4) T_{f-1 -> f}; identity at f=0
+    T_w2c: np.ndarray         # (F, 4, 4) chained global extrinsics
+    num_inliers: np.ndarray   # (F,)
+    inlier_frac: np.ndarray   # (F,) inliers / valid correspondences
+
+
+def _pair_correspondences(prev_links, prev_link_valid, cur_links,
+                          cur_link_valid, m_fwd, calib):
+    """Build padded 3D<->stereo correspondences for one consecutive pair.
+
+    Index space: previous frame's K keypoint slots. A slot i contributes iff
+    it has a stereo link, is temporally matched to cur slot j = m_fwd[i],
+    and j has a stereo link — the same chain of conditions the reference
+    applies before RANSAC (database.py:67-82).
+    """
+    j = jnp.clip(m_fwd["target_idx"], 0, cur_links.shape[0] - 1)
+    valid = (
+        m_fwd["matched"]
+        & prev_link_valid
+        & cur_link_valid[j]
+    )
+    pw = stereo.backproject(calib, prev_links)  # prev-camera-frame 3D
+    meas = cur_links[j]
+    return pw, meas, valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_chunk(
+    chunk_left: jnp.ndarray,    # (F, H, W) float32 left images
+    chunk_right: jnp.ndarray,   # (F, H, W)
+    carry_feats: dict | None,   # previous chunk's last frame features+links
+    calib: jnp.ndarray,
+    key: jax.Array,
+    cfg: SlamConfig,
+):
+    """Process one chunk of frames fully on device. Returns per-frame SoA
+    and the new carry. With ``carry_feats`` the first frame of the chunk is
+    also matched against the previous chunk's last frame, so chunking is
+    seamless."""
+    F = chunk_left.shape[0]
+    K = cfg.features.max_kp
+
+    # --- detection + description, all 2F images at once -------------------
+    imgs = jnp.concatenate([chunk_left, chunk_right], axis=0)
+    feats = jax.vmap(
+        lambda im: features.detect_and_describe(im, max_kp=K)
+    )(imgs)
+    fl = jax.tree.map(lambda x: x[:F], feats)
+    fr = jax.tree.map(lambda x: x[F:], feats)
+
+    # --- stereo association (vmapped) --------------------------------------
+    sm = matching.match_stereo_pair_batched(fl, fr)
+    links = sm["links"]            # (F, K, 3)
+    link_valid = sm["matched"]     # (F, K)
+
+    # --- temporal association: frame t-1 left <-> frame t left ------------
+    # Build the (F,) sequence of "previous frame" features: the carry for
+    # t=0, shifted own features for t>=1.
+    desc = fl["desc"]
+    valid = fl["valid"]
+    if carry_feats is None:
+        prev_desc = jnp.concatenate([desc[:1], desc[:-1]], axis=0)
+        prev_valid = jnp.concatenate(
+            [jnp.zeros_like(valid[:1]), valid[:-1]], axis=0
+        )
+        prev_links = jnp.concatenate([links[:1], links[:-1]], axis=0)
+        prev_link_valid = jnp.concatenate(
+            [jnp.zeros_like(link_valid[:1]), link_valid[:-1]], axis=0
+        )
+    else:
+        prev_desc = jnp.concatenate([carry_feats["desc"][None], desc[:-1]], 0)
+        prev_valid = jnp.concatenate([carry_feats["valid"][None], valid[:-1]], 0)
+        prev_links = jnp.concatenate([carry_feats["links"][None], links[:-1]], 0)
+        prev_link_valid = jnp.concatenate(
+            [carry_feats["link_valid"][None], link_valid[:-1]], 0
+        )
+
+    tm = matching.mutual_match_batched(prev_desc, desc, prev_valid, valid)
+    # m_fwd maps prev-slot -> cur-slot. (mutual_match is symmetric by
+    # construction — equivalent to the reference's fwd/bwd cross-check,
+    # database.py:54-77.)
+
+    # --- RANSAC pose per consecutive pair (vmapped) ------------------------
+    pw, meas, corr_valid = jax.vmap(
+        _pair_correspondences, in_axes=(0, 0, 0, 0, 0, None)
+    )(prev_links, prev_link_valid, links, link_valid, tm, calib)
+
+    keys = jax.random.split(key, F)
+    rr = jax.vmap(
+        lambda k_, pw_, m_, v_: ransac.ransac_pnp(
+            k_, pw_, m_, v_, calib,
+            num_hypotheses=cfg.ransac.num_hypotheses,
+            threshold=cfg.ransac.threshold_px,
+            refine_iters=cfg.ransac.refine_iters,
+        )
+    )(keys, pw, meas, corr_valid)
+
+    # chain: global extrinsics via associative prefix product of T_rel.
+    # T_w2c[t] = T_rel[t] @ T_rel[t-1] @ ... @ T_rel[0] (reverse-order matmul
+    # is associative).
+    T_rel = rr["T_w2c"]  # (F, 4, 4): prev-cam -> cur-cam
+    T_chain = jax.lax.associative_scan(lambda a, b: b @ a, T_rel)
+
+    # per-slot bookkeeping in cur-frame index space for the track store:
+    # match_prev[f, j] = prev slot matched to cur slot j (or -1), with its
+    # distance and RANSAC inlier status.
+    def scatter_to_cur(m, inl):
+        tgt = m["target_idx"]  # (K,) prev-slot -> cur-slot
+        src = jnp.arange(K, dtype=jnp.int32)
+        ok = m["matched"]
+        cur_match = jnp.full((K,), -1, jnp.int32)
+        cur_dist = jnp.full((K,), matching.BIG, jnp.float32)
+        cur_inl = jnp.zeros((K,), bool)
+        j = jnp.where(ok, tgt, K)  # out-of-range drops
+        cur_match = cur_match.at[j].set(jnp.where(ok, src, -1), mode="drop")
+        cur_dist = cur_dist.at[j].set(jnp.where(ok, m["dist"], matching.BIG),
+                                      mode="drop")
+        cur_inl = cur_inl.at[j].set(inl & ok, mode="drop")
+        return cur_match, cur_dist, cur_inl
+
+    match_prev, match_dist, inlier_prev = jax.vmap(scatter_to_cur)(
+        tm, rr["inliers"]
+    )
+
+    num_corr = jnp.sum(corr_valid, axis=-1)
+    out = {
+        "xy": fl["xy"],
+        "desc": desc,
+        "links": links,
+        "link_valid": link_valid,
+        "match_prev": match_prev,
+        "match_dist": match_dist,
+        "inlier_prev": inlier_prev,
+        "T_rel": T_rel,
+        "T_chain": T_chain,
+        "num_inliers": rr["num_inliers"],
+        "inlier_frac": rr["num_inliers"] / jnp.maximum(num_corr, 1),
+        "pose_ok": rr["ok"],
+    }
+    new_carry = {
+        "desc": desc[-1],
+        "valid": valid[-1],
+        "links": links[-1],
+        "link_valid": link_valid[-1],
+    }
+    return out, new_carry
+
+
+def run_frontend(
+    images_left: np.ndarray,
+    images_right: np.ndarray,
+    calib,
+    cfg: SlamConfig = SlamConfig(),
+) -> FrontendResult:
+    """Run the full frontend over a sequence (host orchestration).
+
+    Equivalent surface to reference ``database.run`` (database.py:92-98) +
+    the PnP chain, minus the track store (see models/trackstore.py, which
+    consumes this result).
+    """
+    F = images_left.shape[0]
+    calib = jnp.asarray(calib, jnp.float32)
+    chunk = cfg.runtime.chunk_frames
+    key = jax.random.PRNGKey(cfg.seed)
+
+    outs = []
+    carry = None
+    T_carry = np.eye(4, dtype=np.float32)
+    T_w2c_all = []
+    for start in range(0, F, chunk):
+        block_l = jnp.asarray(images_left[start : start + chunk], jnp.float32)
+        block_r = jnp.asarray(images_right[start : start + chunk], jnp.float32)
+        n = block_l.shape[0]
+        if n < chunk:  # pad the tail chunk to keep shapes static
+            pad = chunk - n
+            block_l = jnp.concatenate([block_l, jnp.zeros((pad,) + block_l.shape[1:])])
+            block_r = jnp.concatenate([block_r, jnp.zeros((pad,) + block_r.shape[1:])])
+        key, sub = jax.random.split(key)
+        out, carry = process_chunk(block_l, block_r, carry, calib, sub, cfg)
+        out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
+        # stitch global chain across chunks
+        T_w2c = out["T_chain"] @ T_carry[None]
+        T_carry = T_w2c[-1]
+        T_w2c_all.append(T_w2c)
+        outs.append(out)
+
+    cat = lambda k: np.concatenate([o[k] for o in outs], axis=0)
+    T_w2c = np.concatenate(T_w2c_all, axis=0)
+    # frame 0 has no previous: force identity relative pose
+    T_rel = cat("T_rel")
+    T_rel[0] = np.eye(4, dtype=T_rel.dtype)
+    return FrontendResult(
+        xy=cat("xy"),
+        desc=cat("desc"),
+        links=cat("links"),
+        link_valid=cat("link_valid"),
+        match_prev=cat("match_prev"),
+        match_dist=cat("match_dist"),
+        inlier_prev=cat("inlier_prev"),
+        T_rel=T_rel,
+        T_w2c=T_w2c,
+        num_inliers=cat("num_inliers"),
+        inlier_frac=cat("inlier_frac"),
+    )

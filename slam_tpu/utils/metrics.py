@@ -1,0 +1,97 @@
+"""Trajectory accuracy metrics.
+
+The numeric core of the reference's analysis suite
+(final_project/analysis.py:442-557 absolute errors, :490-505 rotation error
+in degrees, :801-920 KITTI-style relative sub-sequence errors) as plain
+functions returning numbers — the regression gate against BASELINE.md.
+Poses are extrinsics T_w2c (world -> camera); camera centers are
+``-R^T t``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def camera_centers(T_w2c: np.ndarray) -> np.ndarray:
+    """(F, 4, 4) extrinsics -> (F, 3) camera centers in world frame."""
+    R = T_w2c[..., :3, :3]
+    t = T_w2c[..., :3, 3]
+    return -np.einsum("...ji,...j->...i", R, t)
+
+
+def ate_rmse(T_est: np.ndarray, T_gt: np.ndarray) -> float:
+    """Absolute trajectory error (RMSE of camera-center L2 distances)."""
+    d = camera_centers(T_est) - camera_centers(T_gt)
+    return float(np.sqrt(np.mean(np.sum(d * d, axis=-1))))
+
+
+def abs_location_error(T_est: np.ndarray, T_gt: np.ndarray) -> np.ndarray:
+    """Per-frame per-axis + L2 location error, shape (F, 4) [x, y, z, L2].
+
+    Matches the reference's absolute-error plots (analysis.py:508-557).
+    """
+    d = camera_centers(T_est) - camera_centers(T_gt)
+    l2 = np.linalg.norm(d, axis=-1, keepdims=True)
+    return np.concatenate([np.abs(d), l2], axis=-1)
+
+
+def rotation_error_deg(T_est: np.ndarray, T_gt: np.ndarray) -> np.ndarray:
+    """Per-frame rotation error in degrees (analysis.py:490-505)."""
+    R_rel = np.einsum("...ij,...kj->...ik", T_est[..., :3, :3], T_gt[..., :3, :3])
+    tr = np.trace(R_rel, axis1=-2, axis2=-1)
+    cos_t = np.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    return np.degrees(np.arccos(cos_t))
+
+
+def relative_subsequence_error(
+    T_est: np.ndarray,
+    T_gt: np.ndarray,
+    lengths: tuple[int, ...] = (100, 400, 800),
+) -> dict:
+    """KITTI-style relative error over fixed-length sub-sections.
+
+    For every start frame f and length L: the error of the estimated
+    relative motion f -> f+L against ground truth, normalized by the
+    ground-truth distance traveled — translation in m/m, rotation in deg/m
+    (reference rel_pnp_seq_err / rel_bundle_seq_err, analysis.py:801-920,
+    961-1075).
+    """
+    C_gt = camera_centers(T_gt)
+    out = {}
+    for L in lengths:
+        if L >= T_est.shape[0]:
+            continue
+        t_errs, r_errs = [], []
+        for f in range(0, T_est.shape[0] - L):
+            rel_est = T_est[f + L] @ np.linalg.inv(T_est[f])
+            rel_gt = T_gt[f + L] @ np.linalg.inv(T_gt[f])
+            # distance traveled along GT between f and f+L
+            seg = np.linalg.norm(np.diff(C_gt[f : f + L + 1], axis=0), axis=-1)
+            dist = float(np.sum(seg))
+            if dist < 1e-6:
+                continue
+            err = rel_est @ np.linalg.inv(rel_gt)
+            t_errs.append(np.linalg.norm(err[:3, 3]) / dist)
+            tr = np.clip((np.trace(err[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+            r_errs.append(np.degrees(np.arccos(tr)) / dist)
+        if t_errs:
+            out[L] = {
+                "trans_m_per_m_mean": float(np.mean(t_errs)),
+                "trans_m_per_m_median": float(np.median(t_errs)),
+                "rot_deg_per_m_mean": float(np.mean(r_errs)),
+                "rot_deg_per_m_median": float(np.median(r_errs)),
+            }
+    return out
+
+
+def trajectory_summary(T_est: np.ndarray, T_gt: np.ndarray) -> dict:
+    """One-call metric bundle (printed by the analysis stage)."""
+    loc = abs_location_error(T_est, T_gt)
+    return {
+        "ate_rmse_m": ate_rmse(T_est, T_gt),
+        "mean_l2_m": float(np.mean(loc[:, 3])),
+        "max_l2_m": float(np.max(loc[:, 3])),
+        "mean_rot_deg": float(np.mean(rotation_error_deg(T_est, T_gt))),
+        "relative": relative_subsequence_error(T_est, T_gt),
+    }

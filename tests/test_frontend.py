@@ -1,0 +1,82 @@
+"""End-to-end frontend odometry on a rendered synthetic sequence (M1).
+
+The synthetic scene gives exact ground-truth poses, so this is the
+integration gate corresponding to the reference's trajectory-vs-GT
+validation (SURVEY.md §4.4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slam_tpu.config import FeatureConfig, RansacConfig, RuntimeConfig, SlamConfig
+from slam_tpu.models import frontend
+from slam_tpu.utils import metrics, synthetic
+
+CFG = SlamConfig(
+    features=FeatureConfig(max_kp=512, border=8),
+    ransac=RansacConfig(num_hypotheses=192),
+    runtime=RuntimeConfig(chunk_frames=8),
+)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    scene = synthetic.make_scene(
+        jax.random.PRNGKey(42), num_frames=20, num_landmarks=3000,
+        hw=(160, 320), step_m=0.8,
+    )
+    L, R = synthetic.render_sequence(scene)
+    return scene, L, R
+
+
+def test_frontend_tracks_synthetic_sequence(seq):
+    scene, L, R = seq
+    res = frontend.run_frontend(L, R, scene.calib, CFG)
+    F = L.shape[0]
+    assert res.T_w2c.shape == (F, 4, 4)
+    # every pair should find a healthy number of inliers
+    assert (res.num_inliers[1:] > 30).all(), res.num_inliers
+    # trajectory accuracy: sub-decimeter ATE on a 16 m synthetic run
+    gt = np.asarray(scene.T_w2c)
+    ate = metrics.ate_rmse(res.T_w2c, gt)
+    assert ate < 0.25, f"ATE {ate}"
+    rot = metrics.rotation_error_deg(res.T_w2c, gt)
+    assert float(rot.max()) < 2.0
+
+
+def test_frontend_chunking_is_seamless(seq):
+    """Same result regardless of chunk size (boundary carry correctness)."""
+    scene, L, R = seq
+    res_a = frontend.run_frontend(L[:12], R[:12], scene.calib, CFG)
+    cfg_b = dataclasses.replace(CFG, runtime=RuntimeConfig(chunk_frames=12))
+    res_b = frontend.run_frontend(L[:12], R[:12], scene.calib, cfg_b)
+    # identical keypoints and links
+    np.testing.assert_allclose(res_a.xy, res_b.xy, atol=1e-5)
+    np.testing.assert_array_equal(res_a.link_valid, res_b.link_valid)
+    # poses agree tightly (RANSAC keys differ per chunking, so allow noise)
+    d = np.linalg.norm(
+        metrics.camera_centers(res_a.T_w2c) - metrics.camera_centers(res_b.T_w2c),
+        axis=-1,
+    )
+    assert d.max() < 0.1
+
+
+def test_frontend_match_bookkeeping(seq):
+    scene, L, R = seq
+    res = frontend.run_frontend(L[:6], R[:6], scene.calib, CFG)
+    K = CFG.features.max_kp
+    for f in range(1, 6):
+        m = res.match_prev[f]
+        matched = m >= 0
+        # indices in range
+        assert (m[matched] < K).all()
+        # no duplicate previous slots (mutual matching is injective)
+        prev_slots = m[matched]
+        assert len(np.unique(prev_slots)) == len(prev_slots)
+        # inliers are a subset of matches
+        assert not np.any(res.inlier_prev[f] & ~matched)
+    # frame 0 has no matches
+    assert (res.match_prev[0] == -1).all()
