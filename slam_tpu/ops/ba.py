@@ -1,0 +1,291 @@
+"""Batched sparse bundle adjustment: Levenberg-Marquardt with Schur
+complement, in pure JAX.
+
+Replaces GTSAM's ``NonlinearFactorGraph`` + ``GenericStereoFactor3D`` +
+``LevenbergMarquardtOptimizer`` + ``Marginals`` (reference:
+final_project/backend/GTSam/bundle.py:82-211, pose_graph.py:7-24). Where the
+reference optimizes ~430 keyframe windows one-by-one through a C++ LM, this
+solver is written to be ``vmap``-ed over the *whole batch of windows at
+once* and ``pjit``-sharded across devices — the headline TPU win of the
+backend.
+
+Problem representation (static shapes; one "BA problem" = one window):
+  poses    (P, 4, 4) extrinsics T_win2cam (window frame = first camera).
+  points   (L, 3)    landmarks in the window frame.
+  cam_idx  (M,) int32   observation -> pose row.
+  lm_idx   (M,) int32   observation -> landmark row.
+  meas     (M, 3)       stereo measurements (uL, uR, v).
+  w        (M,)         observation weights (0 = padding; also used for
+                        per-factor sigmas and depth pruning).
+Each (pose, landmark) pair appears at most once (a track is seen once per
+frame), which makes the Schur cross blocks a single scatter.
+
+The gauge is fixed by freezing pose 0 (equivalent to the reference's tight
+prior on the first window pose, bundle.py:100-103).
+
+Covariance: :func:`last_pose_covariance` returns the 6x6 marginal of the
+last pose in the window frame from the un-damped Gauss-Newton Schur matrix
+— the same object the reference extracts via joint marginal information of
+(first, last) conditioned on first (pose_graph.py:7-24).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import se3, stereo
+
+
+# ---------------------------------------------------------------------------
+# residuals and analytic Jacobians
+# ---------------------------------------------------------------------------
+
+def _residuals(poses, points, cam_idx, lm_idx, meas, w, calib):
+    """Weighted stereo reprojection residuals (M, 3)."""
+    T = poses[cam_idx]                      # (M, 4, 4)
+    X = points[lm_idx]                      # (M, 3)
+    Xc = jnp.einsum("mij,mj->mi", T[:, :3, :3], X) + T[:, :3, 3]
+    pred = stereo.project(calib, Xc)
+    return (pred - meas) * w[:, None], Xc
+
+
+def _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc):
+    """Analytic per-observation Jacobians.
+
+    J_pose (M, 3, 6) w.r.t. the right-perturbation T*exp([w, v]) of the
+    observing pose; J_lm (M, 3, 3) w.r.t. the landmark. Derivation:
+      d(T exp(d) X)/dd = R @ [-hat(X) | I]   (d = [rot, trans])
+      d(T (X+dX))/dX   = R
+    with the stereo projection Jacobian chained on top.
+    """
+    fx, fy, _, _, b = (calib[i] for i in range(5))
+    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    iz2 = iz * iz
+    zero = jnp.zeros_like(x)
+    # d(uL,uR,v)/dXc : (M, 3, 3)
+    Jproj = jnp.stack(
+        [
+            jnp.stack([fx * iz, zero, -fx * x * iz2], -1),
+            jnp.stack([fx * iz, zero, -fx * (x - b) * iz2], -1),
+            jnp.stack([zero, fy * iz, -fy * y * iz2], -1),
+        ],
+        axis=-2,
+    )
+    R = poses[cam_idx][:, :3, :3]           # (M, 3, 3)
+    X = points[lm_idx]                      # (M, 3) window frame
+    JR = jnp.einsum("mab,mbc->mac", Jproj, R)          # (M, 3, 3)
+    J_lm = JR * w[:, None, None]
+    J_rot = -jnp.einsum("mab,mbc->mac", JR, se3.hat(X))  # (M, 3, 3)
+    J_pose = jnp.concatenate([J_rot, JR], axis=-1) * w[:, None, None]  # (M,3,6)
+    return J_pose, J_lm
+
+
+# ---------------------------------------------------------------------------
+# one damped normal-equations solve (Schur complement)
+# ---------------------------------------------------------------------------
+
+def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam):
+    """Solve the damped normal equations by landmark marginalization.
+
+    Returns (delta_poses (P, 6), delta_points (L, 3)). Pose 0 is frozen.
+    """
+    dtype = J_pose.dtype
+    # gradient blocks
+    g_p = jnp.zeros((P, 6), dtype).at[cam_idx].add(
+        jnp.einsum("mij,mi->mj", J_pose, r)
+    )
+    g_l = jnp.zeros((L, 3), dtype).at[lm_idx].add(
+        jnp.einsum("mij,mi->mj", J_lm, r)
+    )
+    # Hessian blocks
+    Hpp = jnp.zeros((P, 6, 6), dtype).at[cam_idx].add(
+        jnp.einsum("mia,mib->mab", J_pose, J_pose)
+    )
+    Hll = jnp.zeros((L, 3, 3), dtype).at[lm_idx].add(
+        jnp.einsum("mia,mib->mab", J_lm, J_lm)
+    )
+    # cross blocks: each (pose, landmark) pair has exactly one observation,
+    # scattered into a dense (L, P, 6, 3) tensor — the Schur engine.
+    Wc = jnp.zeros((L, P, 6, 3), dtype).at[lm_idx, cam_idx].add(
+        jnp.einsum("mia,mib->mab", J_pose, J_lm)
+    )
+
+    # damp
+    eyeP = jnp.eye(6, dtype=dtype)
+    eyeL = jnp.eye(3, dtype=dtype)
+    Hpp_d = Hpp + lam * eyeP[None]
+    Hll_d = Hll + lam * eyeL[None] + 1e-8 * eyeL[None]
+    Hll_inv = jnp.linalg.inv(Hll_d)  # (L, 3, 3) tiny batched inverses
+
+    # reduced (Schur) system on poses
+    WHinv = jnp.einsum("lpab,lbc->lpac", Wc, Hll_inv)       # (L, P, 6, 3)
+    U = jnp.einsum("lpac,lqbc->paqb", WHinv, Wc)            # (P,6,P,6)
+    S = -U
+    diag = jnp.arange(P)
+    S = S.at[diag, :, diag, :].add(Hpp_d)
+    ghat = g_p - jnp.einsum("lpac,lc->pa", WHinv, g_l)      # (P, 6)
+
+    # freeze pose 0 (gauge): identity row/col, zero gradient
+    S = S.reshape(P * 6, P * 6)
+    mask = jnp.concatenate([jnp.zeros(6, dtype), jnp.ones((P - 1) * 6, dtype)])
+    S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+    ghat = ghat.reshape(P * 6) * mask
+
+    dp = -jnp.linalg.solve(S, ghat).reshape(P, 6)
+
+    # back-substitute landmarks: dl = -Hll^-1 (g_l + W^T dp)
+    Wt_dp = jnp.einsum("lpab,pa->lb", Wc, dp)               # (L, 3)
+    dl = -jnp.einsum("lab,lb->la", Hll_inv, g_l + Wt_dp)
+    return dp, dl
+
+
+# ---------------------------------------------------------------------------
+# LM driver
+# ---------------------------------------------------------------------------
+
+def _cost(poses, points, cam_idx, lm_idx, meas, w, calib):
+    r, _ = _residuals(poses, points, cam_idx, lm_idx, meas, w, calib)
+    return 0.5 * jnp.sum(r * r)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_bundle(
+    poses: jnp.ndarray,
+    points: jnp.ndarray,
+    cam_idx: jnp.ndarray,
+    lm_idx: jnp.ndarray,
+    meas: jnp.ndarray,
+    w: jnp.ndarray,
+    calib: jnp.ndarray,
+    iters: int = 20,
+    lam0: float = 1e-4,
+):
+    """Levenberg-Marquardt on one window. Static iteration count with
+    accept/reject damping (classic LM schedule: accept -> lam/3, reject ->
+    lam*4 and keep state) — replaces gtsam LM (reference bundle.py:199-211).
+
+    Returns (poses, points, final_cost, lam).
+    """
+    P, L = poses.shape[0], points.shape[0]
+
+    def step(carry, _):
+        poses, points, lam, cost = carry
+        r, Xc = _residuals(poses, points, cam_idx, lm_idx, meas, w, calib)
+        J_pose, J_lm = _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc)
+        dp, dl = _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam)
+        new_poses = jax.vmap(se3.retract)(poses, dp)
+        new_points = points + dl
+        new_cost = _cost(new_poses, new_points, cam_idx, lm_idx, meas, w, calib)
+        ok = jnp.isfinite(new_cost) & (new_cost < cost)
+        poses = jnp.where(ok, new_poses, poses)
+        points = jnp.where(ok, new_points, points)
+        lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(ok, new_cost, cost)
+        return (poses, points, lam, cost), cost
+
+    cost0 = _cost(poses, points, cam_idx, lm_idx, meas, w, calib)
+    (poses, points, lam, cost), _ = jax.lax.scan(
+        step, (poses, points, jnp.asarray(lam0, poses.dtype), cost0), None,
+        length=iters,
+    )
+    return poses, points, cost, lam
+
+
+def prune_depth_weights(
+    poses, points, cam_idx, lm_idx, w,
+    min_depth: float = 0.1, max_depth: float = 1000.0,
+):
+    """Zero the weights of observations whose landmark falls behind or too
+    far from ANY observing camera — the reference's iterative negative/far
+    depth pruning (bundle.py:174-196: z < 0 or z > 1000) expressed as
+    masking rather than graph surgery."""
+    T = poses[cam_idx]
+    X = points[lm_idx]
+    z = jnp.einsum("mj,mj->m", T[:, 2, :3], X) + T[:, 2, 3]
+    bad_obs = (z < min_depth) | (z > max_depth)
+    # a bad depth anywhere kills the whole landmark (reference removes the
+    # landmark and all its factors)
+    L = points.shape[0]
+    bad_lm = jnp.zeros((L,), bool).at[lm_idx].max(bad_obs)
+    return jnp.where(bad_lm[lm_idx], 0.0, w)
+
+
+@partial(jax.jit, static_argnames=("iters", "prune_rounds"))
+def optimize_bundle_pruned(
+    poses, points, cam_idx, lm_idx, meas, w, calib,
+    iters: int = 20, prune_rounds: int = 2,
+    min_depth: float = 0.1, max_depth: float = 1000.0,
+):
+    """LM with interleaved depth pruning (reference optimize_graph loop,
+    bundle.py:199-211: optimize, drop z<0/z>1000 landmarks, re-optimize)."""
+    for _ in range(prune_rounds):
+        w = prune_depth_weights(poses, points, cam_idx, lm_idx, w,
+                                min_depth, max_depth)
+        poses, points, cost, _ = optimize_bundle(
+            poses, points, cam_idx, lm_idx, meas, w, calib, iters=iters
+        )
+    w = prune_depth_weights(poses, points, cam_idx, lm_idx, w,
+                            min_depth, max_depth)
+    cost = _cost(poses, points, cam_idx, lm_idx, meas, w, calib)
+    return poses, points, w, cost
+
+
+# ---------------------------------------------------------------------------
+# covariance extraction
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def pose_covariances(poses, points, cam_idx, lm_idx, meas, w, calib):
+    """Marginal 6x6 covariance of every pose (window frame, pose 0 fixed).
+
+    Computed as the corresponding diagonal blocks of the inverse un-damped
+    Gauss-Newton Schur complement — the replacement for
+    ``gtsam.Marginals`` + ``jointMarginalInformation`` conditioning
+    (reference pose_graph.py:7-24, loop_closure.py:258-291).
+
+    Returns (P, 6, 6); row 0 is ~0 (the fixed gauge).
+    """
+    P, L = poses.shape[0], points.shape[0]
+    r, Xc = _residuals(poses, points, cam_idx, lm_idx, meas, w, calib)
+    J_pose, J_lm = _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc)
+    dtype = J_pose.dtype
+
+    Hpp = jnp.zeros((P, 6, 6), dtype).at[cam_idx].add(
+        jnp.einsum("mia,mib->mab", J_pose, J_pose)
+    )
+    Hll = jnp.zeros((L, 3, 3), dtype).at[lm_idx].add(
+        jnp.einsum("mia,mib->mab", J_lm, J_lm)
+    )
+    Wc = jnp.zeros((L, P, 6, 3), dtype).at[lm_idx, cam_idx].add(
+        jnp.einsum("mia,mib->mab", J_pose, J_lm)
+    )
+    eyeL = jnp.eye(3, dtype=dtype)
+    Hll_inv = jnp.linalg.inv(Hll + 1e-6 * eyeL[None])
+    WHinv = jnp.einsum("lpab,lbc->lpac", Wc, Hll_inv)
+    U = jnp.einsum("lpac,lqbc->paqb", WHinv, Wc)
+    S = -U
+    diag = jnp.arange(P)
+    S = S.at[diag, :, diag, :].add(Hpp)
+    S = S.reshape(P * 6, P * 6)
+    mask = jnp.concatenate([jnp.zeros(6, dtype), jnp.ones((P - 1) * 6, dtype)])
+    S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+    # small regularization for padded poses with no observations
+    S = S + 1e-8 * jnp.eye(P * 6, dtype=dtype)
+    cov = jnp.linalg.inv(S).reshape(P, 6, P, 6)
+    out = cov[diag, :, diag, :]
+    # zero the fixed-gauge pose-0 block entirely
+    return out * mask.reshape(P, 6)[:, :, None]
+
+
+# batched over windows (the sharded axis in parallel/sharded_ba.py)
+optimize_bundles_batched = jax.vmap(
+    optimize_bundle_pruned,
+    in_axes=(0, 0, 0, 0, 0, 0, None),
+)
+pose_covariances_batched = jax.vmap(
+    pose_covariances, in_axes=(0, 0, 0, 0, 0, 0, None)
+)
