@@ -277,6 +277,8 @@ def pose_covariances(poses, points, cam_idx, lm_idx, meas, w, calib):
     S = S + 1e-8 * jnp.eye(P * 6, dtype=dtype)
     cov = jnp.linalg.inv(S).reshape(P, 6, P, 6)
     out = cov[diag, :, diag, :]
+    # f32 inverses are not exactly symmetric; enforce it
+    out = 0.5 * (out + jnp.swapaxes(out, -1, -2))
     # zero the fixed-gauge pose-0 block entirely
     return out * mask.reshape(P, 6)[:, :, None]
 
