@@ -1,0 +1,156 @@
+"""Keyframe pose graph (stateful wrapper over ops/pose_graph.py).
+
+Reference surface: ``PoseGraph`` (final_project/backend/GTSam/
+pose_graph.py:27-124) — add_bundle (:39-96), optimize (:98-103),
+save/load (:105-117) — plus the loop-closure edge insertion + full
+re-optimization (loop_closure.py:33-71).
+
+Differences by design:
+  * edges live in padded numpy arrays; optimization always runs the same
+    compiled kernel (static edge capacity, validity mask);
+  * noise models are stored as 6x6 sqrt-information matrices computed from
+    the bundle marginal covariances (reference builds a gtsam Gaussian
+    noise model the same way, pose_graph.py:53-69);
+  * serialization is npz (replaces whole-object pickle, :105-117).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pose_graph as pg_ops
+
+_EDGE_PAD = 64  # edge capacity grows in blocks to limit recompilation
+
+
+def sqrt_info_from_cov(cov: np.ndarray, eps: float = 1e-10) -> np.ndarray:
+    """Inverse matrix square root of a 6x6 covariance (whitening)."""
+    cov = 0.5 * (cov + cov.T) + eps * np.eye(6)
+    vals, vecs = np.linalg.eigh(cov)
+    vals = np.maximum(vals, eps)
+    return (vecs * (1.0 / np.sqrt(vals))) @ vecs.T
+
+
+@dataclass
+class PoseGraph:
+    nodes: np.ndarray = field(
+        default_factory=lambda: np.eye(4, dtype=np.float32)[None]
+    )  # (N, 4, 4) extrinsics per keyframe
+    keyframes: list[int] = field(default_factory=lambda: [0])
+    e_i: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    e_j: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    Z: np.ndarray = field(default_factory=lambda: np.zeros((0, 4, 4), np.float32))
+    sqrt_info: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 6, 6), np.float32)
+    )
+    is_loop: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
+
+    # ------------------------------------------------------------------
+    @property
+    def num_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return len(self.e_i)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_bundles(bundle_result) -> "PoseGraph":
+        """Assemble the odometry chain from a BundleResult (reference
+        add_bundle loop, project.py:69-79)."""
+        pg = PoseGraph()
+        pg.nodes = bundle_result.T_w2c_keyframes.astype(np.float32).copy()
+        pg.keyframes = list(bundle_result.keyframes)
+        B = bundle_result.rel_T.shape[0]
+        pg.e_i = np.arange(B, dtype=np.int32)
+        pg.e_j = np.arange(1, B + 1, dtype=np.int32)
+        pg.Z = bundle_result.rel_T.astype(np.float32).copy()
+        pg.sqrt_info = np.stack(
+            [sqrt_info_from_cov(c) for c in bundle_result.rel_cov]
+        ).astype(np.float32)
+        pg.is_loop = np.zeros(B, bool)
+        return pg
+
+    def add_edge(
+        self, i: int, j: int, Z: np.ndarray, cov: np.ndarray, loop: bool = True
+    ) -> None:
+        """Insert a Between edge (loop-closure path, reference
+        update_pose_graph loop_closure.py:33-71)."""
+        self.e_i = np.append(self.e_i, np.int32(i))
+        self.e_j = np.append(self.e_j, np.int32(j))
+        self.Z = np.concatenate([self.Z, Z[None].astype(np.float32)])
+        self.sqrt_info = np.concatenate(
+            [self.sqrt_info, sqrt_info_from_cov(cov)[None].astype(np.float32)]
+        )
+        self.is_loop = np.append(self.is_loop, loop)
+
+    # ------------------------------------------------------------------
+    def _padded_edges(self):
+        E = self.num_edges
+        cap = ((E + _EDGE_PAD - 1) // _EDGE_PAD) * _EDGE_PAD
+        pad = cap - E
+        e_i = np.concatenate([self.e_i, np.zeros(pad, np.int32)])
+        e_j = np.concatenate([self.e_j, np.zeros(pad, np.int32)])
+        Z = np.concatenate([self.Z, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+        si = np.concatenate([self.sqrt_info, np.zeros((pad, 6, 6), np.float32)])
+        valid = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
+        return e_i, e_j, Z, si, valid
+
+    def optimize(self, iters: int = 15) -> float:
+        """LM re-optimization of all nodes (reference pose_graph.py:98-103).
+        Returns final cost."""
+        e_i, e_j, Z, si, valid = self._padded_edges()
+        nodes, cost = pg_ops.optimize(
+            jnp.asarray(self.nodes), jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid), iters=iters,
+        )
+        self.nodes = np.asarray(nodes)
+        return float(cost)
+
+    # ------------------------------------------------------------------
+    def covariance_full(self) -> np.ndarray:
+        """(N, 6, N, 6) posterior covariance (see ops gn_hessian_inverse)."""
+        e_i, e_j, Z, si, valid = self._padded_edges()
+        return np.asarray(
+            pg_ops.gn_hessian_inverse(
+                jnp.asarray(self.nodes), jnp.asarray(e_i), jnp.asarray(e_j),
+                jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid),
+            )
+        )
+
+    def marginal(self, i: int, C: np.ndarray | None = None) -> np.ndarray:
+        C = self.covariance_full() if C is None else C
+        return C[i, :, i, :]
+
+    def relative_covariance(
+        self, i: int, j: int, C: np.ndarray | None = None
+    ) -> np.ndarray:
+        C = self.covariance_full() if C is None else C
+        return np.asarray(
+            pg_ops.relative_covariance(jnp.asarray(C), i, j)
+        )
+
+    # ------------------------------------------------------------------
+    def save(self, path: str | Path) -> None:
+        np.savez_compressed(
+            str(path),
+            nodes=self.nodes, keyframes=np.asarray(self.keyframes),
+            e_i=self.e_i, e_j=self.e_j, Z=self.Z,
+            sqrt_info=self.sqrt_info, is_loop=self.is_loop,
+        )
+
+    @staticmethod
+    def load(path: str | Path) -> "PoseGraph":
+        z = np.load(str(path))
+        pg = PoseGraph()
+        pg.nodes = z["nodes"]
+        pg.keyframes = [int(k) for k in z["keyframes"]]
+        pg.e_i, pg.e_j = z["e_i"], z["e_j"]
+        pg.Z, pg.sqrt_info = z["Z"], z["sqrt_info"]
+        pg.is_loop = z["is_loop"]
+        return pg

@@ -1,0 +1,193 @@
+"""Pose-graph solver tests: synthetic noisy chains with a loop edge."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.models.pose_graph import PoseGraph, sqrt_info_from_cov
+from slam_tpu.ops import pose_graph as pg_ops
+from slam_tpu.ops import se3
+
+
+def make_chain(key, N=12, drift=0.02):
+    """GT poses around a loop; noisy odometry edges."""
+    ang = np.linspace(0, 2 * np.pi, N)
+    centers = np.stack(
+        [30 * (1 - np.cos(ang)), np.zeros(N), 30 * np.sin(ang)], axis=-1
+    )
+    R = np.asarray(se3.so3_exp(jnp.stack(
+        [jnp.zeros(N), jnp.asarray(ang), jnp.zeros(N)], -1)))
+    T_gt = np.zeros((N, 4, 4), np.float32)
+    for i in range(N):
+        T_gt[i, :3, :3] = R[i].T
+        T_gt[i, :3, 3] = -R[i].T @ centers[i]
+        T_gt[i, 3, 3] = 1.0
+    # noisy odometry
+    rng = np.random.default_rng(0)
+    Z = np.zeros((N - 1, 4, 4), np.float32)
+    for i in range(N - 1):
+        true_rel = T_gt[i + 1] @ np.linalg.inv(T_gt[i])
+        xi = drift * rng.standard_normal(6).astype(np.float32)
+        xi[:3] *= 0.2  # smaller rotation noise
+        Z[i] = np.asarray(se3.retract(jnp.asarray(true_rel), jnp.asarray(xi)))
+    return T_gt, Z
+
+
+def chained(Z, N):
+    T = np.zeros((N, 4, 4), np.float32)
+    T[0] = np.eye(4)
+    for i in range(N - 1):
+        T[i + 1] = Z[i] @ T[i]
+    return T
+
+
+def test_pose_graph_noop_when_consistent():
+    """With exact odometry edges the chain is already optimal."""
+    T_gt, _ = make_chain(jax.random.PRNGKey(0), N=8, drift=0.0)
+    Z = np.stack([T_gt[i + 1] @ np.linalg.inv(T_gt[i]) for i in range(7)])
+    pg = PoseGraph()
+    pg.nodes = T_gt.copy()
+    pg.keyframes = list(range(0, 80, 10))
+    pg.e_i = np.arange(7, dtype=np.int32)
+    pg.e_j = np.arange(1, 8, dtype=np.int32)
+    pg.Z = Z.astype(np.float32)
+    pg.sqrt_info = np.tile(np.eye(6, dtype=np.float32) * 10.0, (7, 1, 1))
+    pg.is_loop = np.zeros(7, bool)
+    cost = pg.optimize()
+    assert cost < 1e-6
+    np.testing.assert_allclose(pg.nodes, T_gt, atol=1e-4)
+
+
+def test_loop_closure_corrects_drift():
+    N = 12
+    T_gt, Z = make_chain(jax.random.PRNGKey(1), N=N, drift=0.03)
+    T0 = chained(Z, N)
+    pg = PoseGraph()
+    pg.nodes = T0.copy()
+    pg.keyframes = list(range(N))
+    pg.e_i = np.arange(N - 1, dtype=np.int32)
+    pg.e_j = np.arange(1, N, dtype=np.int32)
+    pg.Z = Z
+    pg.sqrt_info = np.tile(np.eye(6, dtype=np.float32) * 30.0, (N - 1, 1, 1))
+    pg.is_loop = np.zeros(N - 1, bool)
+
+    def err(nodes):
+        d = []
+        for i in range(N):
+            d.append(np.linalg.norm(
+                np.asarray(se3.se3_log(jnp.asarray(
+                    nodes[i] @ np.linalg.inv(T_gt[i])
+                )))))
+        return float(np.mean(d))
+
+    e_before = err(pg.nodes)
+    # strong loop edge: last node observes node 0's relative pose exactly
+    true_rel = T_gt[N - 1] @ np.linalg.inv(T_gt[0])
+    pg.add_edge(0, N - 1, true_rel, np.eye(6) * 1e-6, loop=True)
+    pg.optimize(iters=25)
+    e_after = err(pg.nodes)
+    assert e_after < 0.6 * e_before, (e_before, e_after)
+    # the closed endpoint must match the loop measurement tightly
+    end_rel = pg.nodes[N - 1] @ np.linalg.inv(pg.nodes[0])
+    d = np.asarray(se3.se3_log(jnp.asarray(end_rel @ np.linalg.inv(true_rel))))
+    assert np.linalg.norm(d) < 0.05
+
+
+def test_covariance_grows_along_chain():
+    N = 8
+    T_gt, Z = make_chain(jax.random.PRNGKey(2), N=N, drift=0.0)
+    Zc = np.stack([T_gt[i + 1] @ np.linalg.inv(T_gt[i]) for i in range(N - 1)])
+    pg = PoseGraph()
+    pg.nodes = T_gt.copy()
+    pg.keyframes = list(range(N))
+    pg.e_i = np.arange(N - 1, dtype=np.int32)
+    pg.e_j = np.arange(1, N, dtype=np.int32)
+    pg.Z = Zc.astype(np.float32)
+    pg.sqrt_info = np.tile(np.eye(6, dtype=np.float32) * 10.0, (N - 1, 1, 1))
+    pg.is_loop = np.zeros(N - 1, bool)
+    C = pg.covariance_full()
+    tr = [np.trace(C[i, :, i, :]) for i in range(N)]
+    assert tr[0] < 1e-6  # gauge-fixed
+    assert all(tr[i + 1] > tr[i] - 1e-9 for i in range(1, N - 1))
+    # relative covariance of adjacent nodes: PSD, rotation block ~ edge
+    # noise (1/100 I; translation picks up lever-arm terms)
+    rel = pg.relative_covariance(3, 4, C)
+    eig = np.linalg.eigvalsh(rel)
+    assert (eig > -1e-8).all()
+    np.testing.assert_allclose(np.diag(rel)[:3], 0.01, rtol=0.3)
+
+
+def test_relative_covariance_smaller_than_marginal():
+    """Far apart nodes: relative cov must not exceed sum of marginals."""
+    N = 8
+    T_gt, Z = make_chain(jax.random.PRNGKey(3), N=N, drift=0.0)
+    Zc = np.stack([T_gt[i + 1] @ np.linalg.inv(T_gt[i]) for i in range(N - 1)])
+    pg = PoseGraph()
+    pg.nodes = T_gt.copy()
+    pg.keyframes = list(range(N))
+    pg.e_i = np.arange(N - 1, dtype=np.int32)
+    pg.e_j = np.arange(1, N, dtype=np.int32)
+    pg.Z = Zc.astype(np.float32)
+    pg.sqrt_info = np.tile(np.eye(6, dtype=np.float32) * 10.0, (N - 1, 1, 1))
+    pg.is_loop = np.zeros(N - 1, bool)
+    C = pg.covariance_full()
+    # uncertainty accumulates: farther pairs have larger relative cov
+    rel_near = pg.relative_covariance(3, 4, C)
+    rel_far = pg.relative_covariance(2, 6, C)
+    assert np.trace(rel_far) > np.trace(rel_near)
+    # rotation block scales ~ number of edges
+    assert np.trace(rel_far[:3, :3]) > 3.0 * np.trace(rel_near[:3, :3])
+
+
+def test_mahalanobis_gate_prefers_loop():
+    """On a closed circle the endpoint returns to the start: its gating
+    distance to node 0 must be far smaller than a mid-circle node's,
+    despite having MORE accumulated covariance — exactly the loop-closure
+    selection property (reference loop_closure.py:164-196)."""
+    import jax.numpy as jnp
+    from slam_tpu.ops import pose_graph as pg_ops
+
+    N = 13
+    T_gt, Z = make_chain(jax.random.PRNGKey(5), N=N, drift=0.0)
+    Zc = np.stack([T_gt[i + 1] @ np.linalg.inv(T_gt[i]) for i in range(N - 1)])
+    pg = PoseGraph()
+    pg.nodes = T_gt.copy()
+    pg.keyframes = list(range(N))
+    pg.e_i = np.arange(N - 1, dtype=np.int32)
+    pg.e_j = np.arange(1, N, dtype=np.int32)
+    pg.Z = Zc.astype(np.float32)
+    pg.sqrt_info = np.tile(np.eye(6, dtype=np.float32) * 10.0, (N - 1, 1, 1))
+    pg.is_loop = np.zeros(N - 1, bool)
+    C = jnp.asarray(pg.covariance_full())
+    nodes = jnp.asarray(pg.nodes)
+    d_loop = float(pg_ops.mahalanobis_distance(C, nodes, 0, N - 1))
+    d_mid = float(pg_ops.mahalanobis_distance(C, nodes, 0, N // 2))
+    assert d_loop < 0.2 * d_mid, (d_loop, d_mid)
+
+
+def test_save_load_roundtrip(tmp_path):
+    N = 6
+    T_gt, Z = make_chain(jax.random.PRNGKey(4), N=N, drift=0.01)
+    pg = PoseGraph()
+    pg.nodes = chained(Z, N)
+    pg.keyframes = list(range(N))
+    pg.e_i = np.arange(N - 1, dtype=np.int32)
+    pg.e_j = np.arange(1, N, dtype=np.int32)
+    pg.Z = Z
+    pg.sqrt_info = np.tile(np.eye(6, dtype=np.float32), (N - 1, 1, 1))
+    pg.is_loop = np.zeros(N - 1, bool)
+    pg.add_edge(0, 5, np.eye(4), np.eye(6) * 0.01)
+    p = tmp_path / "pg.npz"
+    pg.save(p)
+    pg2 = PoseGraph.load(p)
+    np.testing.assert_array_equal(pg2.nodes, pg.nodes)
+    assert pg2.num_edges == pg.num_edges
+    assert bool(pg2.is_loop[-1])
+
+
+def test_sqrt_info_from_cov():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((6, 6))
+    cov = A @ A.T + 0.1 * np.eye(6)
+    S = sqrt_info_from_cov(cov)
+    np.testing.assert_allclose(S @ cov @ S.T, np.eye(6), atol=1e-6)
