@@ -1,0 +1,242 @@
+"""Loop-closure detection and pose-graph correction.
+
+Reference surface: final_project/backend/loop/loop_closure.py —
+``find_loops`` (:294-352), candidate gating ``get_good_candidates``
+(:199-228) / ``check_candidate`` (:164-196), geometric verification
+``check_candidate_match`` (:405-436) + ``consensus_matches`` (:572-599),
+mini-bundle relative pose+cov (:439-569), pose-graph update (:33-71) —
+plus the det-weighted Dijkstra covariance-path machinery in loop/graph.py.
+
+TPU re-design:
+  * The O(N^2) per-pair Dijkstra scan over the covariance graph collapses
+    into ONE batched Mahalanobis sweep: the exact joint posterior
+    covariance (one dense inverse of the pose-graph Hessian,
+    ops/pose_graph.py:gn_hessian_inverse) prices every candidate pair in a
+    single vmapped quadratic-form kernel. The covariance is only
+    recomputed after an accepted closure (the only event that changes it —
+    the reference does the same refresh at loop_closure.py:392-400).
+  * Candidate verification (descriptor matching + RANSAC) reuses the
+    batched frontend kernels and runs all of a keyframe's candidates as
+    one vmapped call, instead of sequential BFMatcher/solvePnP calls.
+  * The accepted pair is refined by a 2-pose mini-bundle using the SAME
+    Schur-LM solver as the main windows (P=2), yielding the relative pose
+    and its covariance for the new graph edge.
+  * Familiar-path suppression (:311-349) stays host-side (sequential,
+    cheap): while consecutive keyframes keep closing onto the same old
+    segment, further closures are suppressed until the segment is left.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LoopConfig, SlamConfig
+from ..ops import ba, matching, pose_graph as pg_ops, ransac, se3, stereo
+from .pose_graph import PoseGraph
+from .trackstore import TrackStore
+
+
+@dataclass
+class Closure:
+    kf_i: int          # earlier keyframe index (graph node)
+    kf_j: int          # later keyframe index
+    frame_i: int       # global frame ids
+    frame_j: int
+    num_inliers: int
+    inlier_frac: float
+    rel_T: np.ndarray  # frame_i cam -> frame_j cam extrinsic
+    rel_cov: np.ndarray
+    mahalanobis: float
+
+
+# ---------------------------------------------------------------------------
+# geometric verification (batched over candidates)
+# ---------------------------------------------------------------------------
+
+def _verify_candidates(
+    key,
+    desc_j, valid_j, links_j, lvalid_j,          # the query keyframe
+    desc_cands, valid_cands, links_cands, lvalid_cands,  # (C, ...) candidates
+    calib, num_hypotheses: int, threshold: float,
+):
+    """Match + RANSAC the query keyframe against C candidates at once.
+
+    Returns per-candidate (num_inliers, frac, T_cand2query, match arrays).
+    The pose convention follows the frontend: world = candidate (earlier)
+    camera frame, measurements from the query (later) frame, so T maps
+    earlier-cam -> later-cam.
+    """
+    C = desc_cands.shape[0]
+
+    def one(key, d_c, v_c, l_c, lv_c):
+        m = matching.mutual_match(d_c, desc_j, v_c, valid_j)
+        j = jnp.clip(m["target_idx"], 0, links_j.shape[0] - 1)
+        corr_valid = m["matched"] & lv_c & lvalid_j[j]
+        pw = stereo.backproject(calib, l_c)
+        meas = links_j[j]
+        rr = ransac.ransac_pnp(
+            key, pw, meas, corr_valid, calib,
+            num_hypotheses=num_hypotheses, threshold=threshold,
+        )
+        n_corr = jnp.sum(corr_valid)
+        return {
+            "num_inliers": rr["num_inliers"],
+            "frac": rr["num_inliers"] / jnp.maximum(n_corr, 1),
+            "T": rr["T_w2c"],
+            "ok": rr["ok"],
+            "match_tgt": m["target_idx"],
+            "inliers": rr["inliers"],
+        }
+
+    keys = jax.random.split(key, C)
+    return jax.vmap(one)(keys, desc_cands, valid_cands, links_cands, lvalid_cands)
+
+
+# ---------------------------------------------------------------------------
+# mini-bundle refinement (reference create_bundle / get_relative_pose_and_cov)
+# ---------------------------------------------------------------------------
+
+def _refine_pair(
+    links_i, links_j, inlier_mask, match_tgt, T_init, calib,
+    max_landmarks: int = 512,
+):
+    """2-pose bundle on the inlier correspondences; returns rel_T, cov."""
+    K = links_i.shape[0]
+    idx = np.nonzero(np.asarray(inlier_mask))[0][:max_landmarks]
+    L = max_landmarks
+    li = np.zeros(2 * L, np.int32)
+    ci = np.zeros(2 * L, np.int32)
+    meas = np.zeros((2 * L, 3), np.float32)
+    w = np.zeros(2 * L, np.float32)
+    n = len(idx)
+    tgt = np.asarray(match_tgt)
+    li[:n] = np.arange(n)
+    li[L : L + n] = np.arange(n)
+    ci[L : L + n] = 1
+    meas[:n] = np.asarray(links_i)[idx]
+    meas[L : L + n] = np.asarray(links_j)[tgt[idx]]
+    w[:n] = 1.0
+    w[L : L + n] = 1.0
+    points0 = np.zeros((L, 3), np.float32)
+    pts = np.asarray(stereo.backproject(jnp.asarray(calib), jnp.asarray(meas[:n])))
+    points0[:n] = pts
+    poses0 = np.stack([np.eye(4, dtype=np.float32), np.asarray(T_init)])
+
+    poses, points, w2, cost = ba.optimize_bundle_pruned(
+        jnp.asarray(poses0), jnp.asarray(points0), jnp.asarray(ci),
+        jnp.asarray(li), jnp.asarray(meas), jnp.asarray(w),
+        jnp.asarray(calib), iters=15,
+    )
+    covs = ba.pose_covariances(
+        poses, points, jnp.asarray(ci), jnp.asarray(li), jnp.asarray(meas),
+        w2, jnp.asarray(calib),
+    )
+    return np.asarray(poses[1]), np.asarray(covs[1])
+
+
+# ---------------------------------------------------------------------------
+# main driver
+# ---------------------------------------------------------------------------
+
+def find_loops(
+    pg: PoseGraph,
+    db: TrackStore,
+    desc: np.ndarray,        # (F, K, D) frontend descriptors
+    desc_valid: np.ndarray,  # (F, K)
+    calib,
+    cfg: SlamConfig = SlamConfig(),
+    reoptimize_every: bool = True,
+) -> list[Closure]:
+    """Scan keyframes in order, gate by batched Mahalanobis distance,
+    verify by batched matching+RANSAC, refine by mini-bundle, insert the
+    edge and re-optimize. Mutates ``pg``; returns accepted closures.
+
+    Mirrors reference find_loops (loop_closure.py:294-352) including the
+    acceptance thresholds (LoopConfig <- loop_closure.py:15-20) and the
+    familiar-path suppression state machine (:311-349).
+    """
+    lc: LoopConfig = cfg.loop
+    calib = jnp.asarray(calib, jnp.float32)
+    kfs = pg.keyframes
+    N = pg.num_nodes
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    C = jnp.asarray(pg.covariance_full())
+    nodes = jnp.asarray(pg.nodes)
+    closures: list[Closure] = []
+    last_target: int | None = None  # familiar-segment state
+
+    for n in range(lc.keyframe_gap, N):
+        # ---- gate: batched Mahalanobis against all earlier keyframes ----
+        cand_i = jnp.arange(0, n - lc.keyframe_gap + 1)
+        if cand_i.shape[0] == 0:
+            continue
+        d = pg_ops.mahalanobis_batched(
+            C, nodes, cand_i, jnp.full_like(cand_i, n)
+        )
+        d = np.asarray(d)
+        order = np.argsort(d)
+        good = order[d[order] < lc.mahalanobis_thresh][: lc.max_candidates]
+        if len(good) == 0:
+            continue
+
+        # ---- familiar-path suppression ----------------------------------
+        best_target = int(good[0])
+        if last_target is not None and abs(best_target - last_target) <= 3:
+            last_target = best_target
+            continue
+
+        # ---- verification: batched matching + RANSAC --------------------
+        fj = kfs[n]
+        f_cands = np.asarray([kfs[int(g)] for g in good])
+        key, sub = jax.random.split(key)
+        vr = _verify_candidates(
+            sub,
+            jnp.asarray(desc[fj]), jnp.asarray(desc_valid[fj]),
+            jnp.asarray(db.links[fj]), jnp.asarray(db.link_valid[fj]),
+            jnp.asarray(desc[f_cands]), jnp.asarray(desc_valid[f_cands]),
+            jnp.asarray(db.links[f_cands]), jnp.asarray(db.link_valid[f_cands]),
+            calib, cfg.ransac.num_hypotheses, cfg.ransac.threshold_px,
+        )
+        n_inl = np.asarray(vr["num_inliers"])
+        ok = np.asarray(vr["ok"]) & (n_inl > lc.min_inliers)
+        if not ok.any():
+            last_target = None
+            continue
+        # first passing candidate in gate order (reference consensus_matches
+        # takes the first with enough inliers, :588-592)
+        ci_local = int(np.nonzero(ok)[0][0])
+        g = int(good[ci_local])
+        fi = int(f_cands[ci_local])
+
+        # ---- mini-bundle refinement --------------------------------------
+        rel_T, rel_cov = _refine_pair(
+            db.links[fi], db.links[fj],
+            np.asarray(vr["inliers"][ci_local]),
+            np.asarray(vr["match_tgt"][ci_local]),
+            np.asarray(vr["T"][ci_local]), calib,
+            max_landmarks=cfg.bundle.max_landmarks,
+        )
+
+        closures.append(
+            Closure(
+                kf_i=g, kf_j=n, frame_i=fi, frame_j=fj,
+                num_inliers=int(n_inl[ci_local]),
+                inlier_frac=float(np.asarray(vr["frac"])[ci_local]),
+                rel_T=rel_T, rel_cov=rel_cov,
+                mahalanobis=float(d[g]),
+            )
+        )
+        # ---- insert edge + re-optimize + refresh covariance --------------
+        pg.add_edge(g, n, rel_T, rel_cov, loop=True)
+        if reoptimize_every:
+            pg.optimize()
+            C = jnp.asarray(pg.covariance_full())
+            nodes = jnp.asarray(pg.nodes)
+        last_target = g
+
+    return closures

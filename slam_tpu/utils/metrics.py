@@ -20,10 +20,30 @@ def camera_centers(T_w2c: np.ndarray) -> np.ndarray:
     return -np.einsum("...ji,...j->...i", R, t)
 
 
-def ate_rmse(T_est: np.ndarray, T_gt: np.ndarray) -> float:
-    """Absolute trajectory error (RMSE of camera-center L2 distances)."""
-    d = camera_centers(T_est) - camera_centers(T_gt)
+def ate_rmse(T_est: np.ndarray, T_gt: np.ndarray, align: bool = False) -> float:
+    """Absolute trajectory error (RMSE of camera-center L2 distances).
+
+    With ``align=True`` the estimated trajectory is first rigidly aligned
+    to ground truth (closed-form Kabsch on the centers) — the standard ATE
+    protocol; without it, both trajectories are compared as anchored at
+    the origin (the reference's convention, analysis.py:508-557).
+    """
+    a = camera_centers(T_est)
+    b = camera_centers(T_gt)
+    if align:
+        a = rigid_align_points(a, b)
+    d = a - b
     return float(np.sqrt(np.mean(np.sum(d * d, axis=-1))))
+
+
+def rigid_align_points(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rigidly align point set a to b (no scale), returning transformed a."""
+    abar, bbar = a.mean(0), b.mean(0)
+    H = (a - abar).T @ (b - bbar)
+    U, _, Vt = np.linalg.svd(H)
+    D = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ D @ U.T
+    return (a - abar) @ R.T + bbar
 
 
 def abs_location_error(T_est: np.ndarray, T_gt: np.ndarray) -> np.ndarray:

@@ -81,6 +81,7 @@ def make_scene(
     calib: jnp.ndarray | None = None,
     step_m: float = 1.0,
     corridor_halfwidth: float = 25.0,
+    loop_radius: float = 25.0,
 ) -> Scene:
     if calib is None:
         # scale KITTI intrinsics to the requested resolution
@@ -107,16 +108,18 @@ def make_scene(
                                 maxval=length + 60.0)
         landmarks = jnp.stack([lx, ly, lz], axis=-1)
     elif trajectory == "loop":
-        T_w2c = loop_trajectory(num_frames)
+        T_w2c = loop_trajectory(num_frames, radius=loop_radius)
         k1, k2, k3, k4 = jax.random.split(key, 4)
         # landmarks in an annulus around the circular path
         ang = jax.random.uniform(k1, (num_landmarks,), maxval=2.0 * jnp.pi)
-        rad = 60.0 + jax.random.uniform(k2, (num_landmarks,), minval=-35.0,
-                                        maxval=35.0)
+        half = 0.6 * loop_radius
+        rad = loop_radius + jax.random.uniform(
+            k2, (num_landmarks,), minval=-half, maxval=half
+        )
         ly = jax.random.uniform(k3, (num_landmarks,), minval=-4.0, maxval=4.0)
-        # annulus around the circle's center at (60, 0) in the x-z plane
+        # annulus around the circle's center at (loop_radius, 0) in x-z
         landmarks = jnp.stack(
-            [60.0 - rad * jnp.cos(ang), ly, rad * jnp.sin(ang)], axis=-1
+            [loop_radius - rad * jnp.cos(ang), ly, rad * jnp.sin(ang)], axis=-1
         )
     else:
         raise ValueError(f"unknown trajectory {trajectory!r}")

@@ -1,0 +1,90 @@
+"""Full-pipeline integration test on a closed-loop synthetic sequence:
+frontend -> track store -> bundles -> pose graph -> loop closure. The
+loop-closed trajectory must beat the drifted odometry at the loop end —
+the reference's headline capability (README feature list; project run log
+project.py:109-119)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from slam_tpu.config import (
+    BundleConfig, FeatureConfig, KeyframeConfig, LoopConfig, RansacConfig,
+    RuntimeConfig, SlamConfig,
+)
+from slam_tpu import pipeline
+from slam_tpu.utils import metrics, synthetic
+
+CFG = SlamConfig(
+    features=FeatureConfig(max_kp=512, border=8),
+    ransac=RansacConfig(num_hypotheses=192),
+    runtime=RuntimeConfig(chunk_frames=10),
+    keyframes=KeyframeConfig(min_gap=2, max_gap=6, max_dist_m=6.0,
+                             max_angle_deg=25.0),
+    bundle=BundleConfig(max_poses=8, max_landmarks=256, max_obs=1024,
+                        lm_iters=10),
+    loop=LoopConfig(mahalanobis_thresh=300.0, min_inliers=40,
+                    keyframe_gap=5, max_candidates=8),
+)
+
+
+@pytest.fixture(scope="module")
+def loop_run(tmp_path_factory):
+    # ~1.6 m / 3.6 deg per frame — KITTI-like motion the frontend can track
+    scene = synthetic.make_scene(
+        jax.random.PRNGKey(3), num_frames=100, num_landmarks=6000,
+        trajectory="loop", hw=(160, 320),
+    )
+    L, R = synthetic.render_sequence(scene)
+    cache = tmp_path_factory.mktemp("cache")
+    res = pipeline.run_pipeline(L, R, scene.calib, CFG, cache_dir=cache,
+                                verbose=False)
+    return scene, res, cache
+
+
+def test_loop_closures_found(loop_run):
+    scene, res, _ = loop_run
+    assert len(res.closures) >= 1
+    c = res.closures[0]
+    # the loop reconnects the tail of the circle with its start
+    assert c.kf_j - c.kf_i >= CFG.loop.keyframe_gap
+    assert c.num_inliers > CFG.loop.min_inliers
+
+
+def test_loop_closure_improves_endpoint(loop_run):
+    scene, res, _ = loop_run
+    kfs = res.pose_graph.keyframes
+    gt = np.asarray(scene.T_w2c)[kfs]
+    pre = res.pose_graph_pre_lc.nodes
+    post = res.pose_graph.nodes
+    # error at the last keyframe (where drift accumulates)
+    e_pre = np.linalg.norm(
+        metrics.camera_centers(pre[-1:]) - metrics.camera_centers(gt[-1:]))
+    e_post = np.linalg.norm(
+        metrics.camera_centers(post[-1:]) - metrics.camera_centers(gt[-1:]))
+    assert e_post < e_pre, (e_pre, e_post)
+    # aligned ATE (shape error) improves: closing the loop restores the
+    # circle's shape even though anchored error is redistributed
+    ate_pre = metrics.ate_rmse(pre, gt, align=True)
+    ate_post = metrics.ate_rmse(post, gt, align=True)
+    assert ate_post < ate_pre, (ate_pre, ate_post)
+    # anchored ATE must not blow up either
+    assert metrics.ate_rmse(post, gt) < 1.5 * metrics.ate_rmse(pre, gt)
+
+
+def test_stage_artifacts_cached(loop_run):
+    _, _, cache = loop_run
+    assert (cache / "trackstore.npz").exists()
+    assert (cache / "pose_graph.npz").exists()
+    assert (cache / "pose_graph_lc.npz").exists()
+
+
+def test_evaluate_report(loop_run):
+    scene, res, cache = loop_run
+    rep = pipeline.evaluate(res, np.asarray(scene.T_w2c))
+    assert "frontend" in rep and "pose_graph_kf" in rep
+    assert rep["num_closures"] == len(res.closures)
+    pipeline.save_report(cache / "report.json", rep)
+    assert (cache / "report.json").exists()
