@@ -54,13 +54,27 @@ class TrackStore:
     # construction
     # ------------------------------------------------------------------
     @staticmethod
-    def from_frontend(front, min_inliers: int = 0) -> "TrackStore":
+    def from_frontend(front, use_native: bool = True) -> "TrackStore":
         """Build from a FrontendResult in one vectorized pass.
 
         Track assignment is the only sequential-by-frame step (it chains
-        ids through time); per frame it is pure numpy vector ops, ~us per
-        frame — the heavy geometry already ran on device.
+        ids through time). The C++ runtime does it in one pass
+        (runtime/native.cpp:build_tracks); the numpy fallback is
+        per-frame vector ops.
         """
+        if use_native:
+            try:
+                from .. import runtime
+
+                if runtime._load():
+                    tids, n = runtime.build_tracks(
+                        np.ascontiguousarray(front.match_prev),
+                        np.ascontiguousarray(front.inlier_prev),
+                    )
+                    return TrackStore._finalize(front, tids, n)
+            except Exception:
+                pass  # fall back to numpy
+
         F, K = front.link_valid.shape
         track_ids = np.full((F, K), NO_ID, np.int32)
         next_track = 0
