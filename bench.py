@@ -40,7 +40,9 @@ def make_images(num_frames: int) -> tuple[np.ndarray, np.ndarray]:
         hw=(H, W), step_m=1.0,
     )
     L, R = synthetic.render_sequence(scene)
-    return np.asarray(L, np.float32), np.asarray(R, np.float32)
+    # uint8, as KITTI ships them — quarters the host->device transfer
+    to_u8 = lambda x: np.clip(np.asarray(x) * 255.0, 0, 255).astype(np.uint8)
+    return to_u8(L), to_u8(R)
 
 
 def bench_tpu(L: np.ndarray, R: np.ndarray) -> float:

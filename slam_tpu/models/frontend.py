@@ -95,6 +95,10 @@ def process_chunk(
 
     # --- detection + description, all 2F images at once -------------------
     imgs = jnp.concatenate([chunk_left, chunk_right], axis=0)
+    # images may arrive as uint8 to quarter the host->device transfer; the
+    # [0,1] float conversion happens on device
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
     feats = jax.vmap(
         lambda im: features.detect_and_describe(im, max_kp=K)
     )(imgs)
@@ -216,18 +220,35 @@ def run_frontend(
     chunk = cfg.runtime.chunk_frames
     key = jax.random.PRNGKey(cfg.seed)
 
+    dtype = images_left.dtype if images_left.dtype == np.uint8 else np.float32
+
+    def host_chunk(start):
+        bl = np.asarray(images_left[start : start + chunk], dtype)
+        br = np.asarray(images_right[start : start + chunk], dtype)
+        n = bl.shape[0]
+        if n < chunk:  # pad the tail chunk to keep shapes static
+            pad = chunk - n
+            bl = np.concatenate([bl, np.zeros((pad,) + bl.shape[1:], dtype)])
+            br = np.concatenate([br, np.zeros((pad,) + br.shape[1:], dtype)])
+        return bl, br, n
+
     outs = []
     carry = None
     T_carry = np.eye(4, dtype=np.float32)
     T_w2c_all = []
-    for start in range(0, F, chunk):
-        block_l = jnp.asarray(images_left[start : start + chunk], jnp.float32)
-        block_r = jnp.asarray(images_right[start : start + chunk], jnp.float32)
-        n = block_l.shape[0]
-        if n < chunk:  # pad the tail chunk to keep shapes static
-            pad = chunk - n
-            block_l = jnp.concatenate([block_l, jnp.zeros((pad,) + block_l.shape[1:])])
-            block_r = jnp.concatenate([block_r, jnp.zeros((pad,) + block_r.shape[1:])])
+    starts = list(range(0, F, chunk))
+    # software-pipelined transfers: ship chunk s+1 while s computes
+    next_blocks = host_chunk(starts[0])
+    next_dev = (jax.device_put(next_blocks[0]), jax.device_put(next_blocks[1]))
+    for i, start in enumerate(starts):
+        block_l, block_r = next_dev
+        n = next_blocks[2]
+        if i + 1 < len(starts):
+            next_blocks = host_chunk(starts[i + 1])
+            next_dev = (
+                jax.device_put(next_blocks[0]),
+                jax.device_put(next_blocks[1]),
+            )
         key, sub = jax.random.split(key)
         out, carry = process_chunk(block_l, block_r, carry, calib, sub, cfg)
         out = jax.tree.map(lambda x: np.asarray(x[:n]), out)

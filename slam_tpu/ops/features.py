@@ -110,11 +110,13 @@ def detect(
     """Detect up to ``max_kp`` corners on one image.
 
     A uniform spatial distribution matters more for odometry stability than
-    raw response ranking, so selection is *gridded*: the response map is cut
-    into ``cell`` x ``cell`` tiles, the best corner of every tile is taken
-    first, then remaining slots are filled by global response order. Here
-    this is implemented as a single global top-K over tile-normalized
-    responses — one ``lax.top_k``, no loops.
+    raw response ranking, so selection is *gridded*: the top-3 corners of
+    every ``cell`` x ``cell`` tile are extracted with three masked argmax
+    passes over the (n_cells, cell^2) view — cheap VPU reductions — and the
+    final ``max_kp`` are chosen from those candidates with per-cell rank as
+    the primary key (every cell's best first). The only ``top_k`` runs over
+    3*n_cells candidates instead of all H*W pixels, which is what makes
+    K=2048 detection cheap on TPU.
 
     Returns dict with xy (max_kp, 2) float32 pixel coords, resp (max_kp,),
     valid (max_kp,) bool.
@@ -131,27 +133,53 @@ def detect(
     )
     resp = jnp.where(in_border & (resp > min_response), resp, -jnp.inf)
 
-    # tile-normalize: rank = resp / tile_max, so every tile's best point gets
-    # score 1.0 and competes globally ahead of any tile's second-best.
-    Hp = (H + cell - 1) // cell * cell
-    Wp = (W + cell - 1) // cell * cell
-    rp = jnp.pad(resp, ((0, Hp - H), (0, Wp - W)), constant_values=-jnp.inf)
-    tiles = rp.reshape(Hp // cell, cell, Wp // cell, cell)
-    tmax = jnp.max(tiles, axis=(1, 3), keepdims=True)
-    tmax = jnp.where(jnp.isfinite(tmax), tmax, 1.0)
-    normed = jnp.where(
-        jnp.isfinite(tiles), tiles / jnp.maximum(tmax, 1e-12), -jnp.inf
+    Hc = (H + cell - 1) // cell
+    Wc = (W + cell - 1) // cell
+    rp = jnp.pad(resp, ((0, Hc * cell - H), (0, Wc * cell - W)),
+                 constant_values=-jnp.inf)
+    tiles = rp.reshape(Hc, cell, Wc, cell).transpose(0, 2, 1, 3).reshape(
+        Hc * Wc, cell * cell
     )
-    normed = normed.reshape(Hp, Wp)[:H, :W]
 
-    flat = normed.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_kp)
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
-    valid = jnp.isfinite(vals)
+    # top-3 per cell via masked argmax passes
+    cand_val, cand_pos = [], []
+    t = tiles
+    for _ in range(3):
+        a = jnp.argmax(t, axis=1)
+        v = jnp.take_along_axis(t, a[:, None], axis=1)[:, 0]
+        cand_val.append(v)
+        cand_pos.append(a)
+        t = t.at[jnp.arange(t.shape[0]), a].set(-jnp.inf)
+
+    n_cells = Hc * Wc
+    vals = jnp.concatenate(cand_val)            # (3*n_cells,)
+    pos = jnp.concatenate(cand_pos)             # within-cell flat index
+    cell_id = jnp.tile(jnp.arange(n_cells), 3)
+    rank = jnp.repeat(jnp.arange(3), n_cells).astype(jnp.float32)
+
+    # priority: per-cell rank first, then response (bounded logistic keeps
+    # the response tie-break inside one rank band)
+    score = jnp.where(
+        jnp.isfinite(vals),
+        -rank + jax.nn.sigmoid(vals * 1e4) * 0.9,
+        -jnp.inf,
+    )
+    k = min(max_kp, score.shape[0])
+    top_s, top_i = jax.lax.top_k(score, k)
+    if k < max_kp:  # tiny images: pad slots
+        pad = max_kp - k
+        top_s = jnp.concatenate([top_s, jnp.full((pad,), -jnp.inf)])
+        top_i = jnp.concatenate([top_i, jnp.zeros((pad,), top_i.dtype)])
+
+    sel_cell = cell_id[top_i]
+    sel_pos = pos[top_i]
+    ys = (sel_cell // Wc) * cell + sel_pos // cell
+    xs = (sel_cell % Wc) * cell + sel_pos % cell
+    valid = jnp.isfinite(top_s)
     return {
-        "xy": jnp.stack([xs, ys], axis=-1),
-        "resp": jnp.where(valid, resp.reshape(-1)[idx], 0.0),
+        "xy": jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)],
+                        axis=-1),
+        "resp": jnp.where(valid, vals[top_i], 0.0),
         "valid": valid,
     }
 
@@ -160,69 +188,71 @@ def detect(
 # SIFT-style descriptor (upright, single scale)
 # ---------------------------------------------------------------------------
 
-def _patch_coords() -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Relative (dy, dx) grids of the 16x16 descriptor patch, centered."""
-    r = jnp.arange(PATCH, dtype=jnp.float32) - (PATCH - 1) / 2.0
-    dy, dx = jnp.meshgrid(r, r, indexing="ij")
-    return dy.reshape(-1), dx.reshape(-1)
+CELL = PATCH // 4  # 4x4 px per descriptor cell
+
+
+def orientation_cell_maps(img: jnp.ndarray) -> jnp.ndarray:
+    """Image-level descriptor precomputation: (8, H, W) maps where channel
+    o at pixel p holds the 4x4-box-summed, softly-binned gradient magnitude
+    of orientation o around p.
+
+    This moves ALL per-keypoint arithmetic of the SIFT-style descriptor
+    into dense image-space convolutions (VPU/MXU-friendly, shared across
+    keypoints); ``describe`` then just samples 16 cell centers per
+    keypoint.
+    """
+    blur = gaussian_blur(img, 1.0, 2)
+    gx, gy = _sobel(blur)
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+    ang = jnp.arctan2(gy, gx)
+
+    bin_f = (ang + jnp.pi) / (2.0 * jnp.pi) * 8.0
+    b0 = jnp.floor(bin_f).astype(jnp.int32) % 8
+    w1 = bin_f - jnp.floor(bin_f)
+    w0 = 1.0 - w1
+
+    oh0 = jax.nn.one_hot(b0, 8, dtype=img.dtype, axis=0)  # (8, H, W)
+    oh1 = jax.nn.one_hot((b0 + 1) % 8, 8, dtype=img.dtype, axis=0)
+    maps = oh0 * (mag * w0)[None] + oh1 * (mag * w1)[None]
+
+    # 4x4 box sum per channel (cell size = PATCH/4), separable ones-kernel
+    ones_v = jnp.ones((CELL, 1), img.dtype)
+    ones_h = jnp.ones((1, CELL), img.dtype)
+    maps = jax.vmap(lambda m: _conv2d_same(_conv2d_same(m, ones_v), ones_h))(
+        maps
+    )
+    return maps
 
 
 def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """128-d SIFT-like descriptors for all keypoints of one image.
 
-    For each keypoint: gather a 16x16 gradient patch, bin gradient
-    orientations into 8 bins with soft (linear) weights, pool into a 4x4
-    spatial grid, Gaussian-weight by distance from the center, L2-normalize,
-    clip at 0.2, renormalize (the standard SIFT normalization).
-
-    The orientation binning + spatial pooling is expressed as two one-hot
-    matmuls so the whole thing is (K*256, 8) x (8,) style batched matrix
-    work — MXU-friendly at K=2048.
+    4x4 spatial cells x 8 orientation bins, sampled from the precomputed
+    orientation-cell maps at the 16 cell centers around each keypoint
+    (16 gathers per keypoint instead of 256 patch-pixel gathers), then the
+    standard SIFT normalization: L2 -> clip 0.2 -> L2. Upright and single
+    scale — exact OpenCV SIFT parity is a non-goal (SURVEY.md §7.3); the
+    descriptor feeds the same downstream geometry.
     """
     K = xy.shape[0]
-    blur = gaussian_blur(img, 1.0, 2)
-    gx, gy = _sobel(blur)
+    maps = orientation_cell_maps(img)  # (8, H, W)
 
-    dy, dx = _patch_coords()  # (256,)
+    # 16 cell centers: offsets (-6, -2, +2, +6) in y and x
+    offs = (jnp.arange(4, dtype=jnp.float32) - 1.5) * CELL  # (-6,-2,2,6)
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    oy = oy.reshape(-1)  # (16,)
+    ox = ox.reshape(-1)
+
     px = jnp.clip(
-        jnp.round(xy[:, 0:1] + dx[None, :]).astype(jnp.int32), 0, img.shape[1] - 1
-    )  # (K, 256)
+        jnp.round(xy[:, 0:1] + ox[None, :]).astype(jnp.int32), 0,
+        img.shape[1] - 1,
+    )  # (K, 16)
     py = jnp.clip(
-        jnp.round(xy[:, 1:2] + dy[None, :]).astype(jnp.int32), 0, img.shape[0] - 1
+        jnp.round(xy[:, 1:2] + oy[None, :]).astype(jnp.int32), 0,
+        img.shape[0] - 1,
     )
-    g_x = gx[py, px]  # (K, 256)
-    g_y = gy[py, px]
-
-    mag = jnp.sqrt(g_x * g_x + g_y * g_y + 1e-12)
-    ang = jnp.arctan2(g_y, g_x)  # [-pi, pi]
-
-    # soft orientation binning into 8 bins
-    bin_f = (ang + jnp.pi) / (2.0 * jnp.pi) * 8.0  # [0, 8]
-    b0 = jnp.floor(bin_f).astype(jnp.int32) % 8
-    b1 = (b0 + 1) % 8
-    w1 = bin_f - jnp.floor(bin_f)
-    w0 = 1.0 - w1
-
-    # spatial cell index: 4x4 grid over the 16x16 patch
-    cell_y = (dy + PATCH / 2.0) // (PATCH // 4)
-    cell_x = (dx + PATCH / 2.0) // (PATCH // 4)
-    cell = jnp.clip(cell_y * 4 + cell_x, 0, 15).astype(jnp.int32)  # (256,)
-
-    # Gaussian center weighting
-    gw = jnp.exp(-(dx * dx + dy * dy) / (2.0 * (PATCH / 2.0) ** 2))  # (256,)
-
-    # accumulate desc[k, cell, bin] += mag * w * gw as two matmuls:
-    #   orient[k, p, o] — soft orientation one-hot weighted by magnitude
-    #   cellmask[p, c]  — fixed patch-position -> spatial-cell indicator
-    # then desc[k, c, o] = cellmask^T @ orient (contraction over p=256),
-    # a K-batched (16x256)@(256x8) matmul that rides the MXU.
-    contrib = mag * gw[None, :]
-    orient = (
-        jax.nn.one_hot(b0, 8, dtype=img.dtype) * (contrib * w0)[..., None]
-        + jax.nn.one_hot(b1, 8, dtype=img.dtype) * (contrib * w1)[..., None]
-    )  # (K, 256, 8)
-    cellmask = jax.nn.one_hot(cell, 16, dtype=img.dtype)  # (256, 16)
-    desc = jnp.einsum("pc,kpo->kco", cellmask, orient).reshape(K, DESC_DIM)
+    cells = maps[:, py, px]                    # (8, K, 16)
+    desc = cells.transpose(1, 2, 0).reshape(K, DESC_DIM)  # (K, 16*8)
 
     # SIFT normalization: L2 -> clip 0.2 -> L2
     desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)

@@ -54,6 +54,20 @@ def distance_matrix(
     return jnp.where(mask, d2, BIG)
 
 
+def _pallas_eligible(desc_a, desc_b) -> bool:
+    """Use the fused Pallas kernel on TPU when shapes are tile-aligned."""
+    try:
+        from . import pallas_kernels as pk
+
+        return (
+            jax.default_backend() == "tpu"
+            and desc_a.shape[0] % pk.TILE_A == 0
+            and desc_b.shape[0] % pk.TILE_B == 0
+        )
+    except Exception:
+        return False
+
+
 def mutual_match(
     desc_a: jnp.ndarray,
     desc_b: jnp.ndarray,
@@ -66,11 +80,21 @@ def mutual_match(
     Equivalent to ``BFMatcher(crossCheck=True)``: a pair (i, j) is a match
     iff j = argmin_j d(i, j) AND i = argmin_i d(i, j).
 
+    On TPU with tile-aligned feature budgets this dispatches to the fused
+    one-pass Pallas kernel (ops/pallas_kernels.py) — the (K, K) distance
+    matrix never touches HBM. The jnp path below is the CPU/odd-shape
+    fallback and the numerical reference.
+
     Returns dict:
       target_idx: (Ka,) int32, matched row in B or -1.
       dist:       (Ka,) float32 distance (BIG where unmatched).
       matched:    (Ka,) bool.
     """
+    if _pallas_eligible(desc_a, desc_b):
+        from . import pallas_kernels as pk
+
+        return pk.mutual_match_pallas(desc_a, desc_b, valid_a, valid_b,
+                                      max_dist=max_dist)
     d = distance_matrix(desc_a, desc_b, valid_a, valid_b)
     best_b = jnp.argmin(d, axis=1)  # (Ka,)
     best_a = jnp.argmin(d, axis=0)  # (Kb,)

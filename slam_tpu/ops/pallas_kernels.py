@@ -1,0 +1,177 @@
+"""Pallas TPU kernels for the matching hot path.
+
+The frontend performs three brute-force descriptor matchings per frame
+(stereo L-R + temporal; reference BFMatcher calls at matching.py:21-22,
+database.py:54-55). The jnp baseline materializes the full (K, K) distance
+matrix in HBM (16 MB per matching at K=2048) and reduces it twice. This
+kernel fuses everything: descriptor tiles stream through VMEM, the MXU
+computes bf16 similarity tiles, and BOTH reductions (row argmin for A->B
+and column argmin for B->A, i.e. the full crossCheck) happen in one pass —
+the distance matrix never exists. Column state lives in VMEM scratch and
+accumulates across the sequential TPU grid; the (K,) results are the only
+HBM writes. HBM traffic drops from O(K^2) to O(K).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Row-block per program (one (8,128)-aligned output tile each); B is
+# processed in column tiles inside the kernel.
+TILE_A = 1024
+TILE_B = 1024
+BIG = 1e30
+
+
+def _mutual_kernel(
+    a_ref, b_ref, pen_a_ref, pen_b_ref,
+    rdist_ref, ridx_ref, cdist_ref, cidx_ref,
+    col_best, col_idx,
+    *, kb_tiles,
+):
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+    a = a_ref[:].astype(jnp.bfloat16)  # (TILE_A, D)
+    pen_a = pen_a_ref[0, :]            # (TILE_A,)
+
+    @pl.when(i == 0)
+    def _():
+        col_best[:] = jnp.full_like(col_best, BIG)
+        col_idx[:] = jnp.zeros_like(col_idx)
+
+    row_best = jnp.full((TILE_A,), BIG, jnp.float32)
+    row_idx = jnp.zeros((TILE_A,), jnp.int32)
+    for kb in range(kb_tiles):
+        b = b_ref[kb * TILE_B : (kb + 1) * TILE_B, :].astype(jnp.bfloat16)
+        sim = jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TILE_A, TILE_B)
+        base = 2.0 - 2.0 * sim
+        pen_b = pen_b_ref[0, kb * TILE_B : (kb + 1) * TILE_B]
+
+        # row reduction (A -> B): invalid B columns never win
+        d_row = base + pen_b[None, :]
+        tmin = jnp.min(d_row, axis=1)
+        targ = jnp.argmin(d_row, axis=1).astype(jnp.int32) + kb * TILE_B
+        take = tmin < row_best
+        row_best = jnp.where(take, tmin, row_best)
+        row_idx = jnp.where(take, targ, row_idx)
+
+        # column reduction (B -> A): invalid A rows never win
+        d_col = base + pen_a[:, None]
+        cmin = jnp.min(d_col, axis=0)                       # (TILE_B,)
+        carg = jnp.argmin(d_col, axis=0).astype(jnp.int32) + i * TILE_A
+        cur = col_best[0, kb * TILE_B : (kb + 1) * TILE_B]
+        take_c = cmin < cur
+        col_best[0, kb * TILE_B : (kb + 1) * TILE_B] = jnp.where(
+            take_c, cmin, cur
+        )
+        cur_i = col_idx[0, kb * TILE_B : (kb + 1) * TILE_B]
+        col_idx[0, kb * TILE_B : (kb + 1) * TILE_B] = jnp.where(
+            take_c, carg, cur_i
+        )
+
+    rdist_ref[:] = row_best.reshape(TILE_A // 128, 128)
+    ridx_ref[:] = row_idx.reshape(TILE_A // 128, 128)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        kb_total = kb_tiles * TILE_B
+        cdist_ref[:] = col_best[0, :].reshape(kb_total // 128, 128)
+        cidx_ref[:] = col_idx[0, :].reshape(kb_total // 128, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mutual_nearest(
+    desc_a: jnp.ndarray,   # (Ka, D) unit-norm descriptors
+    desc_b: jnp.ndarray,   # (Kb, D)
+    valid_a: jnp.ndarray,  # (Ka,) bool
+    valid_b: jnp.ndarray,  # (Kb,) bool
+    interpret: bool = False,
+):
+    """One-pass bidirectional nearest neighbor.
+
+    Returns (row_dist (Ka,), row_idx (Ka,), col_dist (Kb,), col_idx (Kb,)).
+    Ka must be a multiple of TILE_A and Kb of TILE_B (the feature budget is
+    a power of two >= 1024 by configuration).
+    """
+    Ka, D = desc_a.shape
+    Kb = desc_b.shape[0]
+    assert Ka % TILE_A == 0 and Kb % TILE_B == 0, (Ka, Kb)
+    pen_a = jnp.where(valid_a, 0.0, BIG).astype(jnp.float32)[None, :]
+    pen_b = jnp.where(valid_b, 0.0, BIG).astype(jnp.float32)[None, :]
+
+    kernel = functools.partial(_mutual_kernel, kb_tiles=Kb // TILE_B)
+    grid = Ka // TILE_A
+    rdist, ridx, cdist, cidx = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((TILE_A, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kb, D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_A), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kb), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_A // 128, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_A // 128, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kb // 128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kb // 128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Ka // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Ka // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Kb // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Kb // 128, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, Kb), jnp.float32),
+            pltpu.VMEM((1, Kb), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Ka * Kb * D,
+            bytes_accessed=(Ka * D + Kb * D) * 4 + (Ka + Kb) * 8,
+            transcendentals=0,
+        ),
+    )(desc_a.astype(jnp.float32), desc_b.astype(jnp.float32), pen_a, pen_b)
+    return (rdist.reshape(Ka), ridx.reshape(Ka),
+            cdist.reshape(Kb), cidx.reshape(Kb))
+
+
+def nearest_neighbor(desc_a, desc_b, valid_b, interpret: bool = False):
+    """Row-wise NN (dist, idx) — thin wrapper over the one-pass kernel."""
+    valid_a = jnp.ones(desc_a.shape[0], bool)
+    rdist, ridx, _, _ = mutual_nearest(desc_a, desc_b, valid_a, valid_b,
+                                       interpret=interpret)
+    return rdist, ridx
+
+
+def mutual_match_pallas(desc_a, desc_b, valid_a, valid_b, max_dist=1e8,
+                        interpret: bool = False):
+    """Cross-checked NN matching in ONE kernel pass (both directions).
+    Same contract as ops/matching.mutual_match."""
+    rdist, ridx, _, cidx = mutual_nearest(desc_a, desc_b, valid_a, valid_b,
+                                          interpret=interpret)
+    mutual = cidx[ridx] == jnp.arange(desc_a.shape[0])
+    matched = mutual & valid_a & (rdist < max_dist)
+    return {
+        "target_idx": jnp.where(matched, ridx, -1).astype(jnp.int32),
+        "dist": jnp.where(matched, rdist, jnp.float32(1e9)),
+        "matched": matched,
+    }

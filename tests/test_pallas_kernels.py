@@ -1,0 +1,57 @@
+"""Fused matching kernel vs the jnp reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.ops import matching, pallas_kernels
+
+
+def unit_desc(key, n, d=128):
+    x = jax.random.normal(key, (n, d))
+    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_nearest_neighbor_matches_dense():
+    ka, kb = 1024, 1024
+    a = unit_desc(jax.random.PRNGKey(0), ka)
+    b = unit_desc(jax.random.PRNGKey(1), kb)
+    valid_b = jnp.arange(kb) % 7 != 0  # some invalid columns
+    dist, idx = pallas_kernels.nearest_neighbor(a, b, valid_b, interpret=True)
+
+    dmat = np.asarray(matching.distance_matrix(
+        a, b, jnp.ones(ka, bool), valid_b))
+    # reference computed in bf16; kernel in f32 — compare via argmin target
+    ref_idx = dmat.argmin(axis=1)
+    agree = (np.asarray(idx) == ref_idx).mean()
+    assert agree > 0.97  # bf16-vs-f32 ties may differ on a few rows
+    # distances match the exact values to bf16 matmul precision
+    a_np, b_np = np.asarray(a), np.asarray(b)
+    d_exact = 2.0 - 2.0 * a_np @ b_np[np.asarray(idx)].T
+    np.testing.assert_allclose(
+        np.asarray(dist), np.diag(d_exact), atol=3e-2
+    )
+    # invalid columns never chosen
+    assert (np.asarray(idx) % 7 != 0).all()
+
+
+def test_mutual_match_pallas_matches_jnp():
+    ka = kb = 1024
+    a = unit_desc(jax.random.PRNGKey(2), ka)
+    # b = noisy permutation of a -> strong mutual structure
+    perm = jax.random.permutation(jax.random.PRNGKey(3), ka)
+    b = a[perm] + 0.01 * jax.random.normal(jax.random.PRNGKey(4), a.shape)
+    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+    va = jnp.ones(ka, bool)
+    vb = jnp.ones(kb, bool)
+
+    ref = matching.mutual_match(a, b, va, vb)
+    out = pallas_kernels.mutual_match_pallas(a, b, va, vb, interpret=True)
+    r_t = np.asarray(ref["target_idx"])
+    o_t = np.asarray(out["target_idx"])
+    # identical matches on virtually all rows (bf16 ties aside)
+    assert (r_t == o_t).mean() > 0.99
+    # and the expected permutation recovered
+    inv = np.empty(ka, np.int64)
+    inv[np.asarray(perm)] = np.arange(ka)
+    assert (o_t == inv).mean() > 0.99
