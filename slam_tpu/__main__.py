@@ -1,0 +1,112 @@
+"""Command-line driver.
+
+Replaces the reference's ``python final_project/project.py`` __main__
+(project.py:97-107, which hard-codes per-machine paths in arguments.py)
+with a real CLI:
+
+  # KITTI sequence from disk
+  python -m slam_tpu --kitti-root /data/dataset --seq 00 --out runs/00
+
+  # synthetic smoke run (no dataset needed)
+  python -m slam_tpu --synthetic loop --frames 100 --out runs/demo
+
+  # multi-sequence batch
+  python -m slam_tpu --kitti-root /data/dataset --seq 00 02 05 08 --out runs/all
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("slam_tpu")
+    p.add_argument("--kitti-root", type=Path, default=None,
+                   help="KITTI odometry dataset root (contains sequences/)")
+    p.add_argument("--seq", nargs="+", default=["00"],
+                   help="sequence id(s), e.g. 00 02 05 08")
+    p.add_argument("--limit", type=int, default=None,
+                   help="max frames per sequence")
+    p.add_argument("--synthetic", choices=["straight", "loop"], default=None,
+                   help="run on a synthetic scene instead of KITTI")
+    p.add_argument("--frames", type=int, default=100,
+                   help="synthetic sequence length")
+    p.add_argument("--out", type=Path, required=True, help="output directory")
+    p.add_argument("--config", type=Path, default=None,
+                   help="SlamConfig JSON (see slam_tpu/config.py)")
+    p.add_argument("--no-loop-closure", action="store_true")
+    p.add_argument("--no-analysis", action="store_true")
+    args = p.parse_args(argv)
+
+    from .config import SlamConfig
+    from . import pipeline
+    from .utils import analysis, synthetic
+
+    cfg = SlamConfig.load(args.config) if args.config else SlamConfig()
+    args.out.mkdir(parents=True, exist_ok=True)
+    cfg.save(args.out / "config.json")
+
+    sequences = {}
+    if args.synthetic:
+        import jax
+
+        scene = synthetic.make_scene(
+            jax.random.PRNGKey(cfg.seed), num_frames=args.frames,
+            num_landmarks=8000, trajectory=args.synthetic,
+        )
+        L, R = synthetic.render_sequence(scene)
+        to_u8 = lambda x: np.clip(x * 255, 0, 255).astype(np.uint8)
+        sequences["synthetic"] = (to_u8(L), to_u8(R), np.asarray(scene.calib),
+                                  np.asarray(scene.T_w2c))
+    else:
+        if args.kitti_root is None:
+            p.error("--kitti-root or --synthetic is required")
+        from .utils import kitti
+
+        for s in args.seq:
+            paths = kitti.KittiPaths(root=args.kitti_root, sequence=s)
+            if not paths.exists():
+                print(f"[slam_tpu] sequence {s} not found under "
+                      f"{args.kitti_root}, skipping")
+                continue
+            L, R, calib, gt = kitti.load_sequence(paths, limit=args.limit)
+            sequences[s] = (L, R, calib, gt)
+
+    if not sequences:
+        print("[slam_tpu] nothing to run")
+        return 1
+
+    reports = {}
+    for name, (L, R, calib, gt) in sequences.items():
+        out_dir = args.out / name
+        out_dir.mkdir(parents=True, exist_ok=True)
+        res = pipeline.run_pipeline(
+            L, R, calib, cfg, cache_dir=out_dir / "cache",
+            run_loop_closure=not args.no_loop_closure, verbose=True,
+        )
+        if gt is not None:
+            rep = pipeline.evaluate(res, np.asarray(gt))
+            if not args.no_analysis:
+                rep["analysis"] = analysis.run_analysis(
+                    res, np.asarray(gt), out_dir / "graphs"
+                )
+        else:
+            rep = {"timings_s": res.timings, "db_stats": res.db.stats(),
+                   "num_closures": len(res.closures)}
+        reports[name] = rep
+        pipeline.save_report(out_dir / "report.json", rep)
+        print(f"[slam_tpu] {name}: "
+              + json.dumps({k: v for k, v in rep.items()
+                            if k in ("num_closures",)}))
+
+    pipeline.save_report(args.out / "reports.json", reports)
+    print(f"[slam_tpu] done; reports in {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -203,17 +204,60 @@ def process_chunk(
     return out, new_carry
 
 
+_CKPT_KEYS = (
+    "xy", "desc", "links", "link_valid", "match_prev", "match_dist",
+    "inlier_prev", "T_rel", "num_inliers", "inlier_frac",
+)
+
+
+def _save_checkpoint(path, outs, T_w2c_all, carry, T_carry, next_start):
+    """Incremental frontend checkpoint (reference ex4_v2.py:696-776:
+    per-500-frame serialization + resume-from-middle)."""
+    blob = {}
+    for k in _CKPT_KEYS:
+        blob[k] = np.concatenate([o[k] for o in outs], axis=0)
+    blob["T_chain"] = np.concatenate([o["T_chain"] for o in outs], axis=0)
+    blob["T_w2c"] = np.concatenate(T_w2c_all, axis=0)
+    blob["pose_ok"] = np.concatenate([o["pose_ok"] for o in outs], axis=0)
+    for k, v in (carry or {}).items():
+        blob[f"carry_{k}"] = np.asarray(v)
+    blob["T_carry"] = T_carry
+    blob["next_start"] = np.int64(next_start)
+    np.savez_compressed(str(path), **blob)
+
+
+def load_frontend_checkpoint(path):
+    """Returns (outs-as-single-dict, T_w2c list, carry, T_carry, start)."""
+    z = np.load(str(path))
+    out = {k: z[k] for k in _CKPT_KEYS}
+    out["T_chain"] = z["T_chain"]
+    out["pose_ok"] = z["pose_ok"]
+    carry_keys = [k for k in z.files if k.startswith("carry_")]
+    carry = None
+    if carry_keys:
+        import jax.numpy as _jnp
+
+        carry = {k[len("carry_"):]: _jnp.asarray(z[k]) for k in carry_keys}
+    return out, [z["T_w2c"]], carry, z["T_carry"], int(z["next_start"])
+
+
 def run_frontend(
     images_left: np.ndarray,
     images_right: np.ndarray,
     calib,
     cfg: SlamConfig = SlamConfig(),
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 500,
+    resume: bool = False,
 ) -> FrontendResult:
     """Run the full frontend over a sequence (host orchestration).
 
     Equivalent surface to reference ``database.run`` (database.py:92-98) +
     the PnP chain, minus the track store (see models/trackstore.py, which
-    consumes this result).
+    consumes this result). With ``checkpoint_path`` the accumulated state
+    is serialized every ``checkpoint_every`` frames and ``resume=True``
+    continues from the last checkpoint (reference ex4_v2.py:696-776,
+    1122-1132).
     """
     F = images_left.shape[0]
     calib = jnp.asarray(calib, jnp.float32)
@@ -236,7 +280,16 @@ def run_frontend(
     carry = None
     T_carry = np.eye(4, dtype=np.float32)
     T_w2c_all = []
-    starts = list(range(0, F, chunk))
+    first_start = 0
+    if resume and checkpoint_path and Path(checkpoint_path).exists():
+        ck, T_w2c_all, carry, T_carry, first_start = load_frontend_checkpoint(
+            checkpoint_path
+        )
+        outs = [ck]
+    starts = list(range(first_start, F, chunk))
+    if not starts:  # checkpoint already covers the whole sequence
+        return _assemble_result(outs, T_w2c_all)
+    last_ckpt = first_start
     # software-pipelined transfers: ship chunk s+1 while s computes
     next_blocks = host_chunk(starts[0])
     next_dev = (jax.device_put(next_blocks[0]), jax.device_put(next_blocks[1]))
@@ -258,6 +311,18 @@ def run_frontend(
         T_w2c_all.append(T_w2c)
         outs.append(out)
 
+        done = start + n
+        if checkpoint_path and done - last_ckpt >= checkpoint_every:
+            _save_checkpoint(checkpoint_path, outs, T_w2c_all, carry,
+                             T_carry, done)
+            last_ckpt = done
+
+    if checkpoint_path:
+        _save_checkpoint(checkpoint_path, outs, T_w2c_all, carry, T_carry, F)
+    return _assemble_result(outs, T_w2c_all)
+
+
+def _assemble_result(outs, T_w2c_all) -> FrontendResult:
     cat = lambda k: np.concatenate([o[k] for o in outs], axis=0)
     T_w2c = np.concatenate(T_w2c_all, axis=0)
     # frame 0 has no previous: force identity relative pose

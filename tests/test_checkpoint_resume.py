@@ -1,0 +1,62 @@
+"""Frontend incremental checkpointing + resume-from-middle (reference
+ex4_v2.py:696-776, 1122-1132 behavior)."""
+
+import jax
+import numpy as np
+import pytest
+
+from slam_tpu.config import FeatureConfig, RansacConfig, RuntimeConfig, SlamConfig
+from slam_tpu.models import frontend
+from slam_tpu.utils import synthetic
+
+CFG = SlamConfig(
+    features=FeatureConfig(max_kp=256, border=8),
+    ransac=RansacConfig(num_hypotheses=96),
+    runtime=RuntimeConfig(chunk_frames=4),
+)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    scene = synthetic.make_scene(
+        jax.random.PRNGKey(21), num_frames=12, num_landmarks=1500,
+        hw=(128, 256), step_m=0.8,
+    )
+    L, R = synthetic.render_sequence(scene)
+    return scene, L, R
+
+
+def test_resume_matches_uninterrupted(seq, tmp_path):
+    scene, L, R = seq
+    ck = tmp_path / "fe.npz"
+    # full run with checkpoints every 4 frames
+    full = frontend.run_frontend(L, R, scene.calib, CFG,
+                                 checkpoint_path=str(ck), checkpoint_every=4)
+    assert ck.exists()
+
+    # simulate a crash after 8 frames: run only the first 8, checkpointing
+    ck2 = tmp_path / "fe2.npz"
+    frontend.run_frontend(L[:8], R[:8], scene.calib, CFG,
+                          checkpoint_path=str(ck2), checkpoint_every=4)
+    # resume over the full sequence
+    resumed = frontend.run_frontend(L, R, scene.calib, CFG,
+                                    checkpoint_path=str(ck2),
+                                    checkpoint_every=4, resume=True)
+    assert resumed.T_w2c.shape == full.T_w2c.shape
+    np.testing.assert_allclose(resumed.xy, full.xy, atol=1e-5)
+    np.testing.assert_array_equal(resumed.link_valid, full.link_valid)
+    # trajectories agree (same chunk boundaries -> identical RANSAC keys
+    # except whole-sequence key split order; allow small tolerance)
+    d = np.linalg.norm(resumed.T_w2c[:, :3, 3] - full.T_w2c[:, :3, 3], axis=-1)
+    assert d.max() < 0.1, d.max()
+
+
+def test_resume_noop_when_complete(seq, tmp_path):
+    scene, L, R = seq
+    ck = tmp_path / "fe3.npz"
+    full = frontend.run_frontend(L, R, scene.calib, CFG,
+                                 checkpoint_path=str(ck))
+    again = frontend.run_frontend(L, R, scene.calib, CFG,
+                                  checkpoint_path=str(ck), resume=True)
+    np.testing.assert_allclose(again.T_w2c, full.T_w2c, atol=1e-6)
+    np.testing.assert_array_equal(again.match_prev, full.match_prev)
