@@ -244,7 +244,9 @@ class BundleResult:
     poses: np.ndarray        # (B, P, 4, 4) optimized T_win2cam
     points: np.ndarray       # (B, L, 3)
     w: np.ndarray            # (B, M) post-pruning weights
-    cost: np.ndarray         # (B,)
+    cost: np.ndarray         # (B,) final half-SSE
+    cost0: np.ndarray        # (B,) initial half-SSE (pre-optimization)
+    num_obs: np.ndarray      # (B,) active observations after pruning
     rel_T: np.ndarray        # (B, 4, 4) kf_i -> kf_{i+1} extrinsic
     rel_cov: np.ndarray      # (B, 6, 6) covariance of rel_T (window frame)
     T_w2c_keyframes: np.ndarray  # (B+1, 4, 4) chained global keyframe poses
@@ -266,6 +268,10 @@ def optimize_windows(
     calib = jnp.asarray(calib, jnp.float32)
     B = batch.num_windows
     out_poses, out_points, out_w, out_cost, out_cov = [], [], [], [], []
+    out_cost0 = []
+    cost0_fn = jax.vmap(
+        lambda p0, x0, ci, li, ms, ww: ba._cost(p0, x0, ci, li, ms, ww, calib)
+    )
 
     solver = jax.vmap(
         lambda p0, x0, ci, li, ms, ww: ba.optimize_bundle_pruned(
@@ -290,6 +296,7 @@ def optimize_windows(
         ww = jnp.asarray(batch.w[s:e])
         poses, points, w2, cost = solver(p0, x0, ci, li, ms, ww)
         covs = cov_fn(poses, points, ci, li, ms, w2)
+        out_cost0.append(np.asarray(cost0_fn(p0, x0, ci, li, ms, ww)))
         out_poses.append(np.asarray(poses))
         out_points.append(np.asarray(points))
         out_w.append(np.asarray(w2))
@@ -300,6 +307,7 @@ def optimize_windows(
     points = np.concatenate(out_points)
     w = np.concatenate(out_w)
     cost = np.concatenate(out_cost)
+    cost0 = np.concatenate(out_cost0)
     covs = np.concatenate(out_cov)
 
     last = batch.n_poses - 1  # (B,)
@@ -313,7 +321,8 @@ def optimize_windows(
         T_kf[i + 1] = rel_T[i] @ T_kf[i]
 
     return BundleResult(
-        poses=poses, points=points, w=w, cost=cost,
+        poses=poses, points=points, w=w, cost=cost, cost0=cost0,
+        num_obs=(w > 0).sum(axis=1),
         rel_T=rel_T, rel_cov=rel_cov, T_w2c_keyframes=T_kf,
         keyframes=batch.keyframes, n_poses=batch.n_poses,
         frames=batch.frames, track_of_lm=batch.track_of_lm,

@@ -42,6 +42,7 @@ class PipelineResult:
     pose_graph_pre_lc: PoseGraph   # before loop closure
     closures: list
     timings: dict = field(default_factory=dict)
+    calib: np.ndarray | None = None
 
     # trajectories (extrinsics per frame / keyframe)
     @property
@@ -120,6 +121,7 @@ def run_pipeline(
         frontend=fe, db=db, bundles=bundles,
         pose_graph=pg, pose_graph_pre_lc=pg_pre,
         closures=closures, timings=timings,
+        calib=np.asarray(calib, np.float32),
     )
 
 

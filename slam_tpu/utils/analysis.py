@@ -222,6 +222,119 @@ def plot_loops(out_dir, pg, T_gt_kf):
     _savefig(plt, out_dir, "loops.png")
 
 
+def plot_factor_errors(out_dir, bundles):
+    """Mean stereo-factor error per window, before vs after optimization
+    (reference analysis.py:186-211)."""
+    plt = _plt()
+    n = np.maximum(bundles.num_obs, 1)
+    mean_final = np.sqrt(2.0 * bundles.cost / (3.0 * n))
+    mean_init = np.sqrt(2.0 * bundles.cost0 / (3.0 * n))
+    plt.figure(figsize=(8, 4))
+    plt.plot(mean_init, label="initial")
+    plt.plot(mean_final, label="optimized")
+    plt.xlabel("keyframe window")
+    plt.ylabel("mean factor error [px]")
+    plt.legend()
+    plt.title("Bundle factor error per window")
+    _savefig(plt, out_dir, "factor_errors.png")
+    return {"mean_final_px": float(mean_final.mean()),
+            "mean_init_px": float(mean_init.mean())}
+
+
+def plot_disparity_histogram(out_dir, db):
+    """Histogram of stereo disparities of all valid links (the ex2-lineage
+    y-deviation/disparity sanity plot, VAN_ex/code/ex2.py)."""
+    plt = _plt()
+    links = db.links[db.link_valid]
+    disp = links[:, 0] - links[:, 1]
+    plt.figure(figsize=(6, 4))
+    plt.hist(disp, bins=60, log=True)
+    plt.xlabel("disparity [px]")
+    plt.ylabel("count (log)")
+    plt.title("Stereo disparity histogram")
+    _savefig(plt, out_dir, "disparity_hist.png")
+
+
+def plot_reproj_vs_track_length(out_dir, db, T_frames, calib,
+                                max_tracks: int = 500, seed: int = 0):
+    """Median reprojection error as a function of distance from the
+    triangulation frame, per track-length bucket (reference
+    analysis.py:340-439: 500-track stratified sample).
+
+    Uses the supplied per-frame poses (PnP or BA trajectory): each sampled
+    track is triangulated at its max-disparity frame and reprojected into
+    every frame it appears on.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import se3, stereo
+
+    plt = _plt()
+    rng = np.random.default_rng(seed)
+    lengths = db.track_lengths()
+    ids = np.nonzero(lengths >= 3)[0]
+    if len(ids) == 0:
+        return {}
+    sample = rng.choice(ids, size=min(max_tracks, len(ids)), replace=False)
+
+    calib_j = jnp.asarray(calib)
+    by_dist: dict[int, list] = {}
+    for t in sample:
+        frs, slots = db.track_slots(int(t))
+        links = db.links[frs, slots]
+        disp = links[:, 0] - links[:, 1]
+        k = int(np.argmax(disp))
+        # triangulate at frame k, lift to world
+        pc = np.asarray(stereo.backproject(calib_j, jnp.asarray(links[k])))
+        Tk = T_frames[frs[k]]
+        pw = np.linalg.inv(Tk) @ np.append(pc, 1.0)
+        for i, f in enumerate(frs):
+            pred = np.asarray(stereo.project(
+                calib_j,
+                jnp.asarray((T_frames[f] @ pw)[:3])[None],
+            ))[0]
+            err = float(np.linalg.norm(pred - links[i]))
+            by_dist.setdefault(abs(int(f) - int(frs[k])), []).append(err)
+
+    dists = sorted(by_dist)
+    med = [float(np.median(by_dist[d])) for d in dists]
+    plt.figure(figsize=(7, 4))
+    plt.plot(dists, med, "o-")
+    plt.xlabel("frames from triangulation frame")
+    plt.ylabel("median reprojection error [px]")
+    plt.title("Reprojection error vs track distance")
+    _savefig(plt, out_dir, "reproj_vs_track_length.png")
+    return {str(d): m for d, m in zip(dists, med)}
+
+
+def visualize_track(out_dir, db, images_left, track_id: int,
+                    crop: int = 10, max_frames: int = 12):
+    """Patch strip of one feature track across its frames (reference
+    utils.visualize_track :91-120)."""
+    plt = _plt()
+    frs, slots = db.track_slots(track_id)
+    frs = frs[:max_frames]
+    slots = slots[:max_frames]
+    n = len(frs)
+    fig, axes = plt.subplots(1, n, figsize=(1.2 * n, 1.8))
+    if n == 1:
+        axes = [axes]
+    H, W = images_left.shape[1:3]
+    for ax, f, s in zip(axes, frs, slots):
+        x, y = db.xy[f, s]
+        x0 = int(np.clip(x - crop, 0, W - 2 * crop))
+        y0 = int(np.clip(y - crop, 0, H - 2 * crop))
+        ax.imshow(images_left[f, y0 : y0 + 2 * crop, x0 : x0 + 2 * crop],
+                  cmap="gray")
+        ax.scatter([x - x0], [y - y0], c="r", s=12)
+        ax.set_title(str(int(f)), fontsize=7)
+        ax.axis("off")
+    fig.suptitle(f"track {track_id}")
+    fig.tight_layout()
+    fig.savefig(Path(out_dir) / f"track_{track_id}.png", dpi=110)
+    plt.close(fig)
+
+
 def run_analysis(result, T_gt: np.ndarray, out_dir: str | Path) -> dict:
     """Produce the full plot set + summary dict (reference run_analysis,
     analysis.py:1277-1362)."""
@@ -278,6 +391,13 @@ def run_analysis(result, T_gt: np.ndarray, out_dir: str | Path) -> dict:
     plot_uncertainty(out_dir, result.pose_graph_pre_lc,
                      result.pose_graph if result.closures else None)
     plot_loops(out_dir, result.pose_graph, T_gt_kf)
+    plot_disparity_histogram(out_dir, db)
+    report["factor_errors"] = plot_factor_errors(out_dir, result.bundles)
+    if getattr(result, "calib", None) is not None:
+        report["reproj_vs_dist"] = plot_reproj_vs_track_length(
+            out_dir, db, result.T_bundled_frames, result.calib,
+            max_tracks=200,
+        )
 
     report["ate_rmse"] = {
         "frontend": metrics.ate_rmse(result.T_frontend, T_gt),

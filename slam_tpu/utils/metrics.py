@@ -105,6 +105,14 @@ def relative_subsequence_error(
     return out
 
 
+def dist_traveled(T_w2c: np.ndarray) -> np.ndarray:
+    """Cumulative distance traveled along a trajectory, (F,) with 0 first
+    (reference gtsam_utils.calculate_dist_traveled :226-239)."""
+    c = camera_centers(T_w2c)
+    seg = np.linalg.norm(np.diff(c, axis=0), axis=-1)
+    return np.concatenate([[0.0], np.cumsum(seg)])
+
+
 def trajectory_summary(T_est: np.ndarray, T_gt: np.ndarray) -> dict:
     """One-call metric bundle (printed by the analysis stage)."""
     loc = abs_location_error(T_est, T_gt)

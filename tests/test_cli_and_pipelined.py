@@ -72,6 +72,23 @@ def test_cli_synthetic_run(tmp_path):
     assert (out / "config.json").exists()
 
 
+def test_visualize_track(tmp_path):
+    from slam_tpu.models.trackstore import TrackStore
+    from slam_tpu.utils import analysis
+
+    scene = synthetic.make_scene(
+        jax.random.PRNGKey(6), num_frames=8, num_landmarks=1500,
+        hw=(128, 256), step_m=0.8,
+    )
+    L, R = synthetic.render_sequence(scene)
+    res = frontend.run_frontend(L, R, scene.calib, CFG)
+    db = TrackStore.from_frontend(res)
+    lengths = db.track_lengths()
+    t = int(np.argmax(lengths))
+    analysis.visualize_track(tmp_path, db, L, t)
+    assert (tmp_path / f"track_{t}.png").exists()
+
+
 def test_multi_sequence_runner():
     seqs = {}
     for i, name in enumerate(["a", "b"]):

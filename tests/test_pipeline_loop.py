@@ -91,7 +91,8 @@ def test_analysis_suite(loop_run):
         "trajectories.png", "track_lengths.png", "connectivity.png",
         "matches_per_frame.png", "inliers_percent.png", "rot_error.png",
         "rel_consecutive_pose_graph.png", "uncertainty.png", "loops.png",
-        "analysis.json",
+        "disparity_hist.png", "factor_errors.png",
+        "reproj_vs_track_length.png", "analysis.json",
     ]
     for name in expected:
         assert (out / name).exists(), name
