@@ -184,22 +184,46 @@ def refine_pose_gn(
     iterations (lax.fori_loop) — XLA-friendly, no data-dependent trips.
     """
 
+    fx, fy, b = calib[0], calib[1], calib[4]
+
     def residuals(T):
         pred = stereo.project(calib, se3.transform_points(T, pw[None])[0])
         return (pred - meas) * weights[:, None]
 
-    def step(_, T):
-        def r_of_xi(xi):
-            return residuals(se3.retract(T, xi)).reshape(-1)
+    def res_jac(T):
+        """Residuals + analytic Jacobian w.r.t. the right perturbation
+        T*exp([w, v]) (same derivation as ops/ba._jacobians)."""
+        Xc = se3.transform_points(T, pw[None])[0]  # (N, 3)
+        pred = stereo.project(calib, Xc)
+        r = (pred - meas) * weights[:, None]
+        x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+        iz = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        iz2 = iz * iz
+        zero = jnp.zeros_like(x)
+        Jproj = jnp.stack(
+            [
+                jnp.stack([fx * iz, zero, -fx * x * iz2], -1),
+                jnp.stack([fx * iz, zero, -fx * (x - b) * iz2], -1),
+                jnp.stack([zero, fy * iz, -fy * y * iz2], -1),
+            ],
+            axis=-2,
+        )  # (N, 3, 3)
+        R = T[:3, :3]
+        JR = jnp.einsum("nab,bc->nac", Jproj, R)
+        J_rot = -jnp.einsum("nab,nbc->nac", JR, se3.hat(pw))
+        J = jnp.concatenate([J_rot, JR], axis=-1)  # (N, 3, 6)
+        return r, J * weights[:, None, None]
 
-        J = jax.jacfwd(r_of_xi)(jnp.zeros(6, dtype=T.dtype))  # (3N, 6)
-        r = r_of_xi(jnp.zeros(6, dtype=T.dtype))
-        H = J.T @ J + 1e-6 * jnp.eye(6, dtype=T.dtype)
-        g = J.T @ r
+    def step(_, T):
+        r, J = res_jac(T)
+        Jf = J.reshape(-1, 6)
+        rf = r.reshape(-1)
+        H = Jf.T @ Jf + 1e-6 * jnp.eye(6, dtype=T.dtype)
+        g = Jf.T @ rf
         xi = -jnp.linalg.solve(H, g)
         T_new = se3.retract(T, xi)
         # Accept only improving, finite steps.
-        better = jnp.sum(residuals(T_new) ** 2) < jnp.sum(r * r)
+        better = jnp.sum(residuals(T_new) ** 2) < jnp.sum(rf * rf)
         better = better & jnp.isfinite(T_new).all()
         return jnp.where(better, T_new, T)
 
