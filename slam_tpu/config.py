@@ -22,6 +22,7 @@ class FeatureConfig:
     grid_cell: int = 16         # gridded top-K cell size (px)
     border: int = 12            # detection border margin (px)
     min_response: float = 1e-7  # Harris response floor
+    num_levels: int = 1         # pyramid octaves (ref AKAZE: 4 octaves)
 
 
 @dataclass(frozen=True)

@@ -100,9 +100,17 @@ def process_chunk(
     # [0,1] float conversion happens on device
     if imgs.dtype == jnp.uint8:
         imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
-    feats = jax.vmap(
-        lambda im: features.detect_and_describe(im, max_kp=K)
-    )(imgs)
+    levels = cfg.features.num_levels
+    if levels > 1:
+        feats = jax.vmap(
+            lambda im: features.detect_and_describe_multiscale(
+                im, max_kp=K, num_levels=levels
+            )
+        )(imgs)
+    else:
+        feats = jax.vmap(
+            lambda im: features.detect_and_describe(im, max_kp=K)
+        )(imgs)
     fl = jax.tree.map(lambda x: x[:F], feats)
     fr = jax.tree.map(lambda x: x[F:], feats)
 

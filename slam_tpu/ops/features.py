@@ -272,5 +272,59 @@ def detect_and_describe(img: jnp.ndarray, max_kp: int = DEFAULT_MAX_KP):
     return {"xy": det["xy"], "desc": desc, "valid": det["valid"], "resp": det["resp"]}
 
 
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """Anti-aliased 2x downsample (one pyramid octave)."""
+    return gaussian_blur(img, 1.0, 2)[::2, ::2]
+
+
+@partial(jax.jit, static_argnames=("max_kp", "num_levels"))
+def detect_and_describe_multiscale(
+    img: jnp.ndarray, max_kp: int = DEFAULT_MAX_KP, num_levels: int = 2
+):
+    """Pyramid detection + description over ``num_levels`` octaves.
+
+    The reference's SIFT/AKAZE operate on a scale space (matching.py:19-35:
+    AKAZE 4 octaves); this is the batched TPU analogue: each octave gets a
+    share of the keypoint budget (full resolution keeps half at every
+    split), keypoints are described at their own octave (so the descriptor
+    window scales with the feature), and coordinates are mapped back to
+    level-0 pixels. num_levels=1 degenerates to single-scale.
+
+    Returns the same dict contract as :func:`detect_and_describe`, plus
+    ``scale`` (the octave factor per keypoint).
+    """
+    budgets = []
+    remaining = max_kp
+    for lvl in range(num_levels):
+        k = remaining // 2 if lvl < num_levels - 1 else remaining
+        # keep budgets lane-friendly
+        k = max(128, (k // 128) * 128)
+        k = min(k, remaining)
+        budgets.append(k)
+        remaining -= k
+    budgets[0] += remaining  # leftover back to the finest level
+
+    outs = []
+    level_img = img
+    for lvl, k in enumerate(budgets):
+        det = detect(level_img, max_kp=k, border=max(4, 12 >> lvl))
+        desc = describe(level_img, det["xy"], det["valid"])
+        factor = float(1 << lvl)
+        outs.append({
+            "xy": det["xy"] * factor,
+            "desc": desc,
+            "valid": det["valid"],
+            "resp": det["resp"],
+            "scale": jnp.full((k,), factor, jnp.float32),
+        })
+        if lvl + 1 < num_levels:
+            level_img = _downsample2(level_img)
+
+    return {
+        key: jnp.concatenate([o[key] for o in outs], axis=0)
+        for key in ("xy", "desc", "valid", "resp", "scale")
+    }
+
+
 # Batched over a stack of images: (B, H, W) -> pytree with leading B.
 detect_and_describe_batched = jax.vmap(detect_and_describe, in_axes=(0,))

@@ -121,6 +121,25 @@ def test_ratio_match_rejects_ambiguous():
     assert not bool(m["matched"][0])
 
 
+def test_multiscale_detect_describe():
+    img = textured_image(jax.random.PRNGKey(7), h=128, w=256)
+    out = features.detect_and_describe_multiscale(img, max_kp=256,
+                                                  num_levels=2)
+    assert out["xy"].shape == (256, 2)
+    assert out["desc"].shape == (256, 128)
+    assert set(np.unique(np.asarray(out["scale"]))) <= {1.0, 2.0}
+    # coarse-level keypoints map back into level-0 pixel bounds
+    xy = np.asarray(out["xy"])[np.asarray(out["valid"])]
+    assert (xy[:, 0] < 256).all() and (xy[:, 1] < 128).all()
+    # a shifted copy still matches across the multiscale features
+    shifted = jnp.roll(img, -5, axis=1)
+    f2 = features.detect_and_describe_multiscale(shifted, max_kp=256,
+                                                 num_levels=2)
+    m = matching.mutual_match(out["desc"], f2["desc"], out["valid"],
+                              f2["valid"])
+    assert int(np.asarray(m["matched"]).sum()) > 20
+
+
 def test_batched_detect_describe():
     imgs = jnp.stack(
         [textured_image(jax.random.PRNGKey(i)) for i in range(3)]
