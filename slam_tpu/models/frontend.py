@@ -191,7 +191,9 @@ def process_chunk(
     num_corr = jnp.sum(corr_valid, axis=-1)
     out = {
         "xy": fl["xy"],
-        "desc": desc,
+        # f16 halves the device->host readback; descriptors live in
+        # [0, 0.2] so the precision loss is far below matching noise
+        "desc": desc.astype(jnp.float16),
         "links": links,
         "link_valid": link_valid,
         "match_prev": match_prev,

@@ -191,8 +191,14 @@ def find_loops(
             continue
 
         # ---- verification: batched matching + RANSAC --------------------
+        # pad the candidate set to a static width so the vmapped verifier
+        # compiles exactly once for the whole scan
+        n_good = len(good)
+        good_p = np.concatenate(
+            [good, np.repeat(good[:1], lc.max_candidates - n_good)]
+        )
         fj = kfs[n]
-        f_cands = np.asarray([kfs[int(g)] for g in good])
+        f_cands = np.asarray([kfs[int(g)] for g in good_p])
         key, sub = jax.random.split(key)
         vr = _verify_candidates(
             sub,
@@ -204,13 +210,14 @@ def find_loops(
         )
         n_inl = np.asarray(vr["num_inliers"])
         ok = np.asarray(vr["ok"]) & (n_inl > lc.min_inliers)
+        ok[n_good:] = False  # padding lanes never accepted
         if not ok.any():
             last_target = None
             continue
         # first passing candidate in gate order (reference consensus_matches
         # takes the first with enough inliers, :588-592)
         ci_local = int(np.nonzero(ok)[0][0])
-        g = int(good[ci_local])
+        g = int(good_p[ci_local])
         fi = int(f_cands[ci_local])
 
         # ---- mini-bundle refinement --------------------------------------

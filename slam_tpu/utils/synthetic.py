@@ -198,8 +198,30 @@ def render_frame(scene: Scene, frame: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     return left, right
 
 
-def render_sequence(scene: Scene) -> tuple[np.ndarray, np.ndarray]:
-    """Render all frames -> host numpy (F, H, W) float32 pairs."""
-    frames = jnp.arange(scene.T_w2c.shape[0])
-    L, R = jax.vmap(lambda f: render_frame(scene, f))(frames)
-    return np.asarray(L), np.asarray(R)
+def render_sequence(
+    scene: Scene, chunk: int = 32, on_cpu: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Render all frames -> host numpy (F, H, W) float32 pairs.
+
+    Rendering is test/bench infrastructure, not the compute path: it runs
+    on the host CPU backend by default (the scatter-heavy splatting
+    compiles poorly on accelerators) and in chunks to bound memory.
+    """
+    F = scene.T_w2c.shape[0]
+    devices = jax.devices("cpu") if on_cpu else [None]
+    ctx = jax.default_device(devices[0]) if devices[0] is not None else None
+
+    def _render_all():
+        Ls, Rs = [], []
+        fn = jax.jit(jax.vmap(lambda f: render_frame(scene, f)))
+        for s in range(0, F, chunk):
+            frames = jnp.arange(s, min(s + chunk, F))
+            L, R = fn(frames)
+            Ls.append(np.asarray(L))
+            Rs.append(np.asarray(R))
+        return np.concatenate(Ls), np.concatenate(Rs)
+
+    if ctx is not None:
+        with ctx:
+            return _render_all()
+    return _render_all()
