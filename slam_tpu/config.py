@@ -23,6 +23,8 @@ class FeatureConfig:
     border: int = 12            # detection border margin (px)
     min_response: float = 1e-7  # Harris response floor
     num_levels: int = 1         # pyramid octaves (ref AKAZE: 4 octaves)
+    detector: str = "harris"    # "harris" | "akaze" (nonlinear scale space)
+    akaze_threshold: float = 8e-4  # ref matching.py:20
 
 
 @dataclass(frozen=True)

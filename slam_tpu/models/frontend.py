@@ -101,7 +101,16 @@ def process_chunk(
     if imgs.dtype == jnp.uint8:
         imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
     levels = cfg.features.num_levels
-    if levels > 1:
+    if cfg.features.detector == "akaze":
+        from ..ops import akaze
+
+        feats = jax.vmap(
+            lambda im: akaze.detect_and_describe_akaze(
+                im, max_kp=K, octaves=max(levels, 2),
+                threshold=cfg.features.akaze_threshold,
+            )
+        )(imgs)
+    elif levels > 1:
         feats = jax.vmap(
             lambda im: features.detect_and_describe_multiscale(
                 im, max_kp=K, num_levels=levels

@@ -121,8 +121,20 @@ def detect(
     Returns dict with xy (max_kp, 2) float32 pixel coords, resp (max_kp,),
     valid (max_kp,) bool.
     """
-    H, W = img.shape
     resp = harris_response(img)
+    return select_keypoints(resp, max_kp, cell, border, min_response)
+
+
+def select_keypoints(
+    resp: jnp.ndarray,
+    max_kp: int,
+    cell: int = 16,
+    border: int = 12,
+    min_response: float = 1e-7,
+):
+    """Gridded top-K keypoint selection on any response map (shared by the
+    Harris and nonlinear-scale-space detectors)."""
+    H, W = resp.shape
     resp = _nms(resp)
 
     # border + validity mask

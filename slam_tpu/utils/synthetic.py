@@ -199,13 +199,13 @@ def render_frame(scene: Scene, frame: int) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def render_sequence(
-    scene: Scene, chunk: int = 32, on_cpu: bool = True
+    scene: Scene, chunk: int = 32, on_cpu: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render all frames -> host numpy (F, H, W) float32 pairs.
 
-    Rendering is test/bench infrastructure, not the compute path: it runs
-    on the host CPU backend by default (the scatter-heavy splatting
-    compiles poorly on accelerators) and in chunks to bound memory.
+    Chunked so the vmapped splatting program stays small enough to compile
+    quickly; ``on_cpu=True`` forces the host backend (useful when the
+    accelerator is remote and readback-bound).
     """
     F = scene.T_w2c.shape[0]
     devices = jax.devices("cpu") if on_cpu else [None]
