@@ -213,7 +213,10 @@ def render_sequence(
 
     def _render_all():
         Ls, Rs = [], []
-        fn = jax.jit(jax.vmap(lambda f: render_frame(scene, f)))
+        # eager vmap (NOT jit): the 25-tap scatter-splat compiles
+        # pathologically slowly as one fused program on some backends,
+        # while op-by-op dispatch of the batched scatters is fast
+        fn = jax.vmap(lambda f: render_frame(scene, f))
         for s in range(0, F, chunk):
             frames = jnp.arange(s, min(s + chunk, F))
             L, R = fn(frames)
