@@ -77,7 +77,8 @@ def pnp_trajectory_from_db(
             return jnp.where(good, T, jnp.eye(4, dtype=T.dtype))
 
         T_rel = jax.vmap(one)(prev_links, cur_links, valid)
-        chain = jax.lax.associative_scan(lambda a, b: b @ a, T_rel)
+        with jax.default_matmul_precision("float32"):
+            chain = jax.lax.associative_scan(lambda a, b: b @ a, T_rel)
         return T_rel, chain
 
     _, chain = solve_all(

@@ -172,9 +172,11 @@ def process_chunk(
 
     # chain: global extrinsics via associative prefix product of T_rel.
     # T_w2c[t] = T_rel[t] @ T_rel[t-1] @ ... @ T_rel[0] (reverse-order matmul
-    # is associative).
+    # is associative). Full f32 precision: bf16 MXU passes would accumulate
+    # visible drift over thousands of chained 4x4 products.
     T_rel = rr["T_w2c"]  # (F, 4, 4): prev-cam -> cur-cam
-    T_chain = jax.lax.associative_scan(lambda a, b: b @ a, T_rel)
+    with jax.default_matmul_precision("float32"):
+        T_chain = jax.lax.associative_scan(lambda a, b: b @ a, T_rel)
 
     # per-slot bookkeeping in cur-frame index space for the track store:
     # match_prev[f, j] = prev slot matched to cur slot j (or -1), with its

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from . import se3, stereo
+from .precision import full_precision
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +154,7 @@ def _cost(poses, points, cam_idx, lm_idx, meas, w, calib):
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@full_precision
 def optimize_bundle(
     poses: jnp.ndarray,
     points: jnp.ndarray,
@@ -215,6 +217,7 @@ def prune_depth_weights(
 
 
 @partial(jax.jit, static_argnames=("iters", "prune_rounds"))
+@full_precision
 def optimize_bundle_pruned(
     poses, points, cam_idx, lm_idx, meas, w, calib,
     iters: int = 20, prune_rounds: int = 2,
@@ -239,6 +242,7 @@ def optimize_bundle_pruned(
 # ---------------------------------------------------------------------------
 
 @jax.jit
+@full_precision
 def pose_covariances(poses, points, cam_idx, lm_idx, meas, w, calib):
     """Marginal 6x6 covariance of every pose (window frame, pose 0 fixed).
 

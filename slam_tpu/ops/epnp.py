@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from . import se3, stereo
+from .precision import full_precision
 
 
 def _control_points(pw: jnp.ndarray) -> jnp.ndarray:
@@ -47,6 +48,7 @@ def _barycentric(pw: jnp.ndarray, ctrl: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([a0, a123], axis=-1)
 
 
+@full_precision
 def solve_pnp_epnp(
     pw: jnp.ndarray, pix: jnp.ndarray, calib: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -127,6 +129,7 @@ solve_pnp_epnp_batched = jax.vmap(solve_pnp_epnp, in_axes=(0, 0, None))
 # for the same confidence. EPnP remains the n>=6 re-solve / external API.
 
 
+@full_precision
 def rigid_align(
     pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -165,6 +168,7 @@ def rigid_align(
 rigid_align_batched = jax.vmap(rigid_align, in_axes=(0, 0, None))
 
 
+@full_precision
 def refine_pose_gn(
     T_w2c: jnp.ndarray,
     pw: jnp.ndarray,

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from . import se3
+from .precision import full_precision
 
 
 def edge_residual(Xi, Xj, Z_inv, sqrt_info):
@@ -57,6 +58,7 @@ def _edge_res_jac(Xi, Xj, Z_inv, sqrt_info):
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@full_precision
 def optimize(
     nodes: jnp.ndarray,      # (N, 4, 4) initial extrinsics
     e_i: jnp.ndarray,        # (E,) int32 source node
@@ -127,6 +129,7 @@ def optimize(
 
 
 @jax.jit
+@full_precision
 def gn_hessian_inverse(nodes, e_i, e_j, Z, sqrt_info, e_valid):
     """Full (6N, 6N) covariance = inverse Gauss-Newton Hessian at ``nodes``
     with node 0 gauge-fixed. One dense inverse serves *all* marginal /

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from . import epnp, se3, stereo
+from .precision import full_precision
 
 DEFAULT_THRESHOLD = 2.0  # px, reference ransac.py:44-54
 DEFAULT_HYPOTHESES = 512
@@ -70,6 +71,7 @@ def _sample_hypotheses(key, valid, num_hypotheses):
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "refine_iters"))
+@full_precision
 def ransac_pnp(
     key: jax.Array,
     pw: jnp.ndarray,

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .precision import full_precision
+
 
 def _dlt_system(P: jnp.ndarray, Q: jnp.ndarray, xl: jnp.ndarray, xr: jnp.ndarray,
                 yl: jnp.ndarray, yr: jnp.ndarray) -> jnp.ndarray:
@@ -32,6 +34,7 @@ def _dlt_system(P: jnp.ndarray, Q: jnp.ndarray, xl: jnp.ndarray, xr: jnp.ndarray
     return A
 
 
+@full_precision
 def triangulate(
     P: jnp.ndarray,
     Q: jnp.ndarray,
