@@ -57,6 +57,10 @@ class Closure:
 # geometric verification (batched over candidates)
 # ---------------------------------------------------------------------------
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("num_hypotheses",))
 def _verify_candidates(
     key,
     desc_j, valid_j, links_j, lvalid_j,          # the query keyframe

@@ -33,7 +33,10 @@ import jax.numpy as jnp
 # Default budget comparable to the reference's 2500 SIFT features
 # (matching.py:31); rounded to a power of two for clean tiling.
 DEFAULT_MAX_KP = 2048
-PATCH = 16  # descriptor patch side
+# Descriptor support: 16 px side (4x4 cells of 4x4 px). Wider support
+# (32 px) was tried and hurts: it degrades viewpoint robustness for
+# frame-to-frame matching more than it helps stereo discrimination.
+PATCH = 16
 DESC_DIM = 128
 
 
@@ -133,8 +136,17 @@ def select_keypoints(
     min_response: float = 1e-7,
 ):
     """Gridded top-K keypoint selection on any response map (shared by the
-    Harris and nonlinear-scale-space detectors)."""
+    Harris and nonlinear-scale-space detectors), with quadratic subpixel
+    refinement.
+
+    Subpixel matters: integer keypoints quantize stereo disparity by
+    +-0.5 px, which at KITTI geometry is meter-scale depth error at 25 m —
+    enough to break the 2 px reprojection gate between frames. A 1D
+    parabola fit per axis on the response map recovers the peak to ~0.1 px
+    (what SIFT/AKAZE do on their response pyramids).
+    """
     H, W = resp.shape
+    resp_raw = resp
     resp = _nms(resp)
 
     # border + validity mask
@@ -188,9 +200,28 @@ def select_keypoints(
     ys = (sel_cell // Wc) * cell + sel_pos // cell
     xs = (sel_cell % Wc) * cell + sel_pos % cell
     valid = jnp.isfinite(top_s)
+
+    # quadratic subpixel refinement on the raw response map
+    xc = jnp.clip(xs, 1, W - 2)
+    yc = jnp.clip(ys, 1, H - 2)
+    r0 = resp_raw[yc, xc]
+    rxp = resp_raw[yc, xc + 1]
+    rxm = resp_raw[yc, xc - 1]
+    ryp = resp_raw[yc + 1, xc]
+    rym = resp_raw[yc - 1, xc]
+
+    def _para(p, m, c):
+        denom = p - 2.0 * c + m
+        off = jnp.where(jnp.abs(denom) > 1e-12, -0.5 * (p - m) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = _para(rxp, rxm, r0)
+    dy = _para(ryp, rym, r0)
+    # keep refined coordinates inside the detection border
+    xs_f = jnp.clip(xc.astype(jnp.float32) + dx, border, W - 1 - border)
+    ys_f = jnp.clip(yc.astype(jnp.float32) + dy, border, H - 1 - border)
     return {
-        "xy": jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)],
-                        axis=-1),
+        "xy": jnp.stack([xs_f, ys_f], axis=-1),
         "resp": jnp.where(valid, vals[top_i], 0.0),
         "valid": valid,
     }

@@ -32,13 +32,22 @@ KITTI_HW = (376, 1241)
 
 @dataclass
 class Scene:
-    """A synthetic world: landmarks + ground-truth trajectory."""
+    """A synthetic world: landmarks + ground-truth trajectory.
 
-    landmarks: jnp.ndarray   # (M, 3) world points
+    Each conceptual landmark is rendered as a small 3D *cluster* of points
+    (``render_points``): an isolated isotropic dot produces identical
+    descriptors for every landmark, so matching would be random; a unique
+    satellite constellation per landmark is view-consistent texture that
+    descriptors can discriminate.
+    """
+
+    landmarks: jnp.ndarray   # (M, 3) world points (the GT geometry)
     intensities: jnp.ndarray  # (M,) blob brightness
     T_w2c: jnp.ndarray       # (F, 4, 4) ground-truth extrinsics per frame
     calib: jnp.ndarray       # [fx, fy, cx, cy, baseline]
     hw: tuple[int, int]
+    render_points: jnp.ndarray | None = None   # (M*S, 3) textured cluster
+    render_intens: jnp.ndarray | None = None   # (M*S,)
 
 
 def straight_trajectory(num_frames: int, step_m: float = 1.0) -> jnp.ndarray:
@@ -124,7 +133,25 @@ def make_scene(
     else:
         raise ValueError(f"unknown trajectory {trajectory!r}")
     intens = 0.4 + 0.6 * jax.random.uniform(k4, (num_landmarks,))
-    return Scene(landmarks, intens, T_w2c, calib, hw)
+
+    # unique satellite constellation per landmark (see Scene docstring):
+    # the primary point plus S-1 satellites at random 3D offsets
+    S = 4
+    ko, ki = jax.random.split(jax.random.fold_in(key, 7))
+    offsets = jax.random.uniform(ko, (num_landmarks, S - 1, 3),
+                                 minval=-0.2, maxval=0.2)
+    sats = landmarks[:, None, :] + offsets
+    render_points = jnp.concatenate(
+        [landmarks[:, None, :], sats], axis=1
+    ).reshape(-1, 3)
+    sat_int = intens[:, None] * (
+        0.5 + 0.5 * jax.random.uniform(ki, (num_landmarks, S - 1))
+    )
+    render_intens = jnp.concatenate(
+        [intens[:, None], sat_int], axis=1
+    ).reshape(-1)
+    return Scene(landmarks, intens, T_w2c, calib, hw,
+                 render_points=render_points, render_intens=render_intens)
 
 
 # ---------------------------------------------------------------------------
@@ -182,17 +209,35 @@ def _splat(hw, us, vs, weights, radius: int = 2, sigma: float = 1.0):
 
 def render_frame(scene: Scene, frame: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render the (left, right) grayscale pair for one frame, in [0, 1]."""
-    meas, vis, pc = observe_frame(scene, frame)
-    w = jnp.where(vis, scene.intensities, 0.0)
-    # modulate brightness by inverse depth so blobs stay distinctive
-    w = w * jnp.clip(20.0 / jnp.maximum(pc[:, 2], 1.0), 0.2, 2.0)
+    if scene.render_points is not None:
+        pts = scene.render_points
+        intens = scene.render_intens
+    else:
+        pts = scene.landmarks
+        intens = scene.intensities
+    T = scene.T_w2c[frame]
+    pc = se3.transform_points(T, pts)
+    meas = stereo.project(scene.calib, pc)
+    H, W = scene.hw
+    vis = (
+        (pc[:, 2] > 1.0) & (pc[:, 2] < 200.0)
+        & (meas[:, 0] >= 0) & (meas[:, 0] < W)
+        & (meas[:, 1] >= 0) & (meas[:, 1] < W)
+        & (meas[:, 2] >= 0) & (meas[:, 2] < H)
+    )
+    w = jnp.where(vis, intens, 0.0)
+    # modulate brightness by inverse depth so blobs stay distinctive but
+    # remain detectable at range
+    w = w * jnp.clip(20.0 / jnp.maximum(pc[:, 2], 1.0), 0.5, 2.0)
     left = _splat(scene.hw, meas[:, 0], meas[:, 2], w)
     right = _splat(scene.hw, meas[:, 1], meas[:, 2], w)
-    # low-frequency background to keep gradients nonzero everywhere
+    # weak vertical-only background gradient: keeps some image structure
+    # without introducing horizontally-periodic texture (a screen-fixed
+    # periodic pattern generates self-similar FALSE stereo matches whose
+    # spurious disparity passes the rectified gate)
     H, W = scene.hw
     yy = jnp.linspace(0, 4 * jnp.pi, H)[:, None]
-    xx = jnp.linspace(0, 4 * jnp.pi, W)[None, :]
-    bg = 0.03 * (jnp.sin(yy + frame * 0.1) + jnp.cos(xx))
+    bg = 0.02 * jnp.sin(yy + frame * 0.1) * jnp.ones((1, W))
     left = jnp.clip(left + bg + 0.05, 0.0, 1.0)
     right = jnp.clip(right + bg + 0.05, 0.0, 1.0)
     return left, right
