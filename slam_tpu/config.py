@@ -31,7 +31,16 @@ class FeatureConfig:
 class MatchConfig:
     stereo_dy: float = 2.0        # |y_l - y_r| gate (ref matching.py:62)
     stereo_min_disp: float = 2.0  # x_l > x_r + margin (ref matching.py:63)
-    max_desc_dist: float = 1.0    # descriptor distance cutoff (sq-L2, unit norm)
+    max_desc_dist: float = 0.6    # descriptor distance cutoff (sq-L2, unit
+    # norm): without it, weak mutual matches occasionally outnumber true
+    # correspondences and RANSAC locks onto junk (measured: 200x ATE blowup)
+    # guided-matching search windows (slam_tpu addition; the reference
+    # brute-forces full descriptor sets, matching.py:21-34)
+    guided: bool = True
+    max_disparity: float = 192.0  # stereo window: dx in [-max_disp, -min_disp]
+    stereo_match_dy: float = 4.0  # window dy (looser than the final gate)
+    temporal_dx: float = 300.0    # ego-motion window for frame-to-frame
+    temporal_dy: float = 120.0
 
 
 @dataclass(frozen=True)

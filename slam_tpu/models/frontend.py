@@ -123,8 +123,14 @@ def process_chunk(
     fl = jax.tree.map(lambda x: x[:F], feats)
     fr = jax.tree.map(lambda x: x[F:], feats)
 
-    # --- stereo association (vmapped) --------------------------------------
-    sm = matching.match_stereo_pair_batched(fl, fr)
+    # --- stereo association (vmapped, disparity-band guided) ---------------
+    mc = cfg.matching
+    stereo_win = (
+        (-mc.max_disparity, -mc.stereo_min_disp, mc.stereo_match_dy)
+        if mc.guided else None
+    )
+    sm = matching.match_stereo_pair_batched(fl, fr, window=stereo_win,
+                                        max_dist=mc.max_desc_dist)
     links = sm["links"]            # (F, K, 3)
     link_valid = sm["matched"]     # (F, K)
 
@@ -133,6 +139,7 @@ def process_chunk(
     # t=0, shifted own features for t>=1.
     desc = fl["desc"]
     valid = fl["valid"]
+    xy = fl["xy"]
     if carry_feats is None:
         prev_desc = jnp.concatenate([desc[:1], desc[:-1]], axis=0)
         prev_valid = jnp.concatenate(
@@ -142,6 +149,7 @@ def process_chunk(
         prev_link_valid = jnp.concatenate(
             [jnp.zeros_like(link_valid[:1]), link_valid[:-1]], axis=0
         )
+        prev_xy = jnp.concatenate([xy[:1], xy[:-1]], axis=0)
     else:
         prev_desc = jnp.concatenate([carry_feats["desc"][None], desc[:-1]], 0)
         prev_valid = jnp.concatenate([carry_feats["valid"][None], valid[:-1]], 0)
@@ -149,8 +157,17 @@ def process_chunk(
         prev_link_valid = jnp.concatenate(
             [carry_feats["link_valid"][None], link_valid[:-1]], 0
         )
+        prev_xy = jnp.concatenate([carry_feats["xy"][None], xy[:-1]], 0)
 
-    tm = matching.mutual_match_batched(prev_desc, desc, prev_valid, valid)
+    temporal_win = (
+        (-mc.temporal_dx, mc.temporal_dx, mc.temporal_dy)
+        if mc.guided else None
+    )
+    tm = matching.mutual_match_batched(
+        prev_desc, desc, prev_valid, valid,
+        xy_a=prev_xy, xy_b=xy, window=temporal_win,
+        max_dist=mc.max_desc_dist,
+    )
     # m_fwd maps prev-slot -> cur-slot. (mutual_match is symmetric by
     # construction — equivalent to the reference's fwd/bwd cross-check,
     # database.py:54-77.)
@@ -221,6 +238,7 @@ def process_chunk(
         "valid": valid[-1],
         "links": links[-1],
         "link_valid": link_valid[-1],
+        "xy": xy[-1],
     }
     return out, new_carry
 

@@ -169,20 +169,28 @@ def find_loops(
     N = pg.num_nodes
     key = jax.random.PRNGKey(cfg.seed + 1)
 
-    C = jnp.asarray(pg.covariance_full())
-    nodes = jnp.asarray(pg.nodes)
+    def all_pairs_gate():
+        """(N, N) Mahalanobis matrix in ONE batched call (recomputed only
+        after an accepted closure changes the posterior)."""
+        C = pg.covariance_full()
+        nodes = jnp.asarray(pg.nodes)
+        ii, jj = np.tril_indices(N, k=-1)  # j < i pairs
+        d = pg_ops.mahalanobis_batched(
+            jnp.asarray(C), nodes, jnp.asarray(jj), jnp.asarray(ii)
+        )
+        D = np.full((N, N), np.inf, np.float32)
+        D[ii, jj] = np.asarray(d)
+        return D
+
+    D = all_pairs_gate()
     closures: list[Closure] = []
     last_target: int | None = None  # familiar-segment state
 
     for n in range(lc.keyframe_gap, N):
-        # ---- gate: batched Mahalanobis against all earlier keyframes ----
-        cand_i = jnp.arange(0, n - lc.keyframe_gap + 1)
-        if cand_i.shape[0] == 0:
+        # ---- gate: all earlier keyframes (precomputed batched sweep) ----
+        d = D[n, : n - lc.keyframe_gap + 1]
+        if d.size == 0:
             continue
-        d = pg_ops.mahalanobis_batched(
-            C, nodes, cand_i, jnp.full_like(cand_i, n)
-        )
-        d = np.asarray(d)
         order = np.argsort(d)
         good = order[d[order] < lc.mahalanobis_thresh][: lc.max_candidates]
         if len(good) == 0:
@@ -246,8 +254,7 @@ def find_loops(
         pg.add_edge(g, n, rel_T, rel_cov, loop=True)
         if reoptimize_every:
             pg.optimize()
-            C = jnp.asarray(pg.covariance_full())
-            nodes = jnp.asarray(pg.nodes)
+            D = all_pairs_gate()
         last_target = g
 
     return closures

@@ -68,17 +68,45 @@ def _pallas_eligible(desc_a, desc_b) -> bool:
         return False
 
 
+def window_penalty(
+    xy_a: jnp.ndarray,
+    xy_b: jnp.ndarray,
+    window: tuple[float, float, float] | None,
+):
+    """(Ka, Kb) additive penalty implementing a guided search window.
+
+    ``window = (dx_min, dx_max, dy_max)``: candidate j is admissible for
+    query i iff dx = x_b[j] - x_a[i] lies in [dx_min, dx_max] and
+    |y_b[j] - y_a[i]| <= dy_max. Guided matching is standard VO practice
+    the reference lacks (it brute-forces the full descriptor sets,
+    matching.py:21-34); a window removes most descriptor ambiguity:
+    stereo candidates live in the epipolar/disparity band, temporal
+    candidates in the ego-motion window.
+    """
+    if window is None:
+        return 0.0
+    dx_min, dx_max, dy_max = window
+    dx = xy_b[None, :, 0] - xy_a[:, None, 0]
+    dy = jnp.abs(xy_b[None, :, 1] - xy_a[:, None, 1])
+    bad = (dx < dx_min) | (dx > dx_max) | (dy > dy_max)
+    return jnp.where(bad, BIG, 0.0)
+
+
 def mutual_match(
     desc_a: jnp.ndarray,
     desc_b: jnp.ndarray,
     valid_a: jnp.ndarray,
     valid_b: jnp.ndarray,
     max_dist: float = 1e8,
+    xy_a: jnp.ndarray | None = None,
+    xy_b: jnp.ndarray | None = None,
+    window: tuple[float, float, float] | None = None,
 ):
     """Cross-checked nearest-neighbor matching A -> B.
 
     Equivalent to ``BFMatcher(crossCheck=True)``: a pair (i, j) is a match
-    iff j = argmin_j d(i, j) AND i = argmin_i d(i, j).
+    iff j = argmin_j d(i, j) AND i = argmin_i d(i, j). Optionally guided by
+    a spatial search ``window`` (see :func:`window_penalty`).
 
     On TPU with tile-aligned feature budgets this dispatches to the fused
     one-pass Pallas kernel (ops/pallas_kernels.py) — the (K, K) distance
@@ -94,8 +122,11 @@ def mutual_match(
         from . import pallas_kernels as pk
 
         return pk.mutual_match_pallas(desc_a, desc_b, valid_a, valid_b,
-                                      max_dist=max_dist)
+                                      max_dist=max_dist, xy_a=xy_a,
+                                      xy_b=xy_b, window=window)
     d = distance_matrix(desc_a, desc_b, valid_a, valid_b)
+    if window is not None:
+        d = d + window_penalty(xy_a, xy_b, window)
     best_b = jnp.argmin(d, axis=1)  # (Ka,)
     best_a = jnp.argmin(d, axis=0)  # (Kb,)
     dist = jnp.min(d, axis=1)
@@ -164,17 +195,39 @@ def stereo_gate(
     }
 
 
-@partial(jax.jit, static_argnames=())
-def match_stereo_pair(left: dict, right: dict):
+def match_stereo_pair(left: dict, right: dict,
+                      window: tuple[float, float, float] | None = None,
+                      max_dist: float = 1e8):
     """Full stereo-frame association: mutual NN + rectified gate.
 
     ``left``/``right`` are feature dicts from ``features.detect_and_describe``
-    (xy, desc, valid). Returns the gated match dict (incl. links).
+    (xy, desc, valid). ``window`` optionally restricts candidates to the
+    disparity band (guided matching); ``max_dist`` is the descriptor
+    distance cutoff. Returns the gated match dict (incl. links).
     """
-    m = mutual_match(left["desc"], right["desc"], left["valid"], right["valid"])
+    m = mutual_match(left["desc"], right["desc"], left["valid"],
+                     right["valid"], max_dist=max_dist,
+                     xy_a=left["xy"], xy_b=right["xy"], window=window)
     return stereo_gate(left["xy"], right["xy"], m)
 
 
 # Batched over frames: feature pytrees with leading batch dim.
-match_stereo_pair_batched = jax.vmap(match_stereo_pair)
-mutual_match_batched = jax.vmap(mutual_match, in_axes=(0, 0, 0, 0))
+def match_stereo_pair_batched(left, right, window=None, max_dist=1e8):
+    return jax.vmap(
+        lambda l, r: match_stereo_pair(l, r, window, max_dist)
+    )(left, right)
+
+
+def mutual_match_batched(desc_a, desc_b, valid_a, valid_b,
+                         xy_a=None, xy_b=None, window=None, max_dist=1e8):
+    if window is None:
+        return jax.vmap(
+            lambda da, db, va, vb: mutual_match(da, db, va, vb,
+                                                max_dist=max_dist)
+        )(desc_a, desc_b, valid_a, valid_b)
+    return jax.vmap(
+        lambda da, db, va, vb, xa, xb: mutual_match(
+            da, db, va, vb, max_dist=max_dist, xy_a=xa, xy_b=xb,
+            window=window
+        )
+    )(desc_a, desc_b, valid_a, valid_b, xy_a, xy_b)

@@ -29,10 +29,10 @@ BIG = 1e30
 
 
 def _mutual_kernel(
-    a_ref, b_ref, pen_a_ref, pen_b_ref,
+    a_ref, b_ref, pen_a_ref, pen_b_ref, xya_ref, xyb_ref,
     rdist_ref, ridx_ref, cdist_ref, cidx_ref,
     col_best, col_idx,
-    *, kb_tiles,
+    *, kb_tiles, window,
 ):
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
@@ -54,6 +54,19 @@ def _mutual_kernel(
             preferred_element_type=jnp.float32,
         )  # (TILE_A, TILE_B)
         base = 2.0 - 2.0 * sim
+        if window is not None:
+            # guided search window: inadmissible pairs are priced out for
+            # BOTH reductions (pure VPU elementwise work on the live tile)
+            dx_min, dx_max, dy_max = window
+            xa = xya_ref[0, :]  # (TILE_A,) x
+            ya = xya_ref[1, :]
+            xb = xyb_ref[0, kb * TILE_B : (kb + 1) * TILE_B]
+            yb = xyb_ref[1, kb * TILE_B : (kb + 1) * TILE_B]
+            dx = xb[None, :] - xa[:, None]
+            dy = jnp.abs(yb[None, :] - ya[:, None])
+            base = base + jnp.where(
+                (dx < dx_min) | (dx > dx_max) | (dy > dy_max), BIG, 0.0
+            )
         pen_b = pen_b_ref[0, kb * TILE_B : (kb + 1) * TILE_B]
 
         # row reduction (A -> B): invalid B columns never win
@@ -88,15 +101,18 @@ def _mutual_kernel(
         cidx_ref[:] = col_idx[0, :].reshape(kb_total // 128, 128)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "window"))
 def mutual_nearest(
     desc_a: jnp.ndarray,   # (Ka, D) unit-norm descriptors
     desc_b: jnp.ndarray,   # (Kb, D)
     valid_a: jnp.ndarray,  # (Ka,) bool
     valid_b: jnp.ndarray,  # (Kb,) bool
     interpret: bool = False,
+    xy_a: jnp.ndarray | None = None,   # (Ka, 2) for guided windows
+    xy_b: jnp.ndarray | None = None,   # (Kb, 2)
+    window: tuple | None = None,       # (dx_min, dx_max, dy_max)
 ):
-    """One-pass bidirectional nearest neighbor.
+    """One-pass bidirectional nearest neighbor, optionally window-guided.
 
     Returns (row_dist (Ka,), row_idx (Ka,), col_dist (Kb,), col_idx (Kb,)).
     Ka must be a multiple of TILE_A and Kb of TILE_B (the feature budget is
@@ -107,8 +123,16 @@ def mutual_nearest(
     assert Ka % TILE_A == 0 and Kb % TILE_B == 0, (Ka, Kb)
     pen_a = jnp.where(valid_a, 0.0, BIG).astype(jnp.float32)[None, :]
     pen_b = jnp.where(valid_b, 0.0, BIG).astype(jnp.float32)[None, :]
+    # coordinates as lane-aligned (2, K) rows [x; y]
+    if xy_a is None or window is None:
+        xya = jnp.zeros((2, Ka), jnp.float32)
+        xyb = jnp.zeros((2, Kb), jnp.float32)
+    else:
+        xya = xy_a.T.astype(jnp.float32)
+        xyb = xy_b.T.astype(jnp.float32)
 
-    kernel = functools.partial(_mutual_kernel, kb_tiles=Kb // TILE_B)
+    kernel = functools.partial(_mutual_kernel, kb_tiles=Kb // TILE_B,
+                               window=window)
     grid = Ka // TILE_A
     rdist, ridx, cdist, cidx = pl.pallas_call(
         kernel,
@@ -121,6 +145,10 @@ def mutual_nearest(
             pl.BlockSpec((1, TILE_A), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Kb), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TILE_A), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Kb), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -149,7 +177,8 @@ def mutual_nearest(
             bytes_accessed=(Ka * D + Kb * D) * 4 + (Ka + Kb) * 8,
             transcendentals=0,
         ),
-    )(desc_a.astype(jnp.float32), desc_b.astype(jnp.float32), pen_a, pen_b)
+    )(desc_a.astype(jnp.float32), desc_b.astype(jnp.float32), pen_a, pen_b,
+      xya, xyb)
     return (rdist.reshape(Ka), ridx.reshape(Ka),
             cdist.reshape(Kb), cidx.reshape(Kb))
 
@@ -163,11 +192,16 @@ def nearest_neighbor(desc_a, desc_b, valid_b, interpret: bool = False):
 
 
 def mutual_match_pallas(desc_a, desc_b, valid_a, valid_b, max_dist=1e8,
-                        interpret: bool = False):
+                        interpret: bool = False, xy_a=None, xy_b=None,
+                        window=None):
     """Cross-checked NN matching in ONE kernel pass (both directions).
     Same contract as ops/matching.mutual_match."""
+    if window is not None:
+        window = tuple(float(v) for v in window)
     rdist, ridx, _, cidx = mutual_nearest(desc_a, desc_b, valid_a, valid_b,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          xy_a=xy_a, xy_b=xy_b,
+                                          window=window)
     mutual = cidx[ridx] == jnp.arange(desc_a.shape[0])
     matched = mutual & valid_a & (rdist < max_dist)
     return {
