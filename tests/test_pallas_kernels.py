@@ -35,6 +35,56 @@ def test_nearest_neighbor_matches_dense():
     assert (np.asarray(idx) % 7 != 0).all()
 
 
+def test_windowed_matching_restricts_candidates():
+    """Guided window: candidates outside the spatial box never match."""
+    ka = kb = 1024
+    a = unit_desc(jax.random.PRNGKey(10), ka)
+    b = a  # identical descriptors -> matching decided by the window
+    rng = np.random.default_rng(0)
+    xy_a = jnp.asarray(rng.uniform(0, 1000, (ka, 2)).astype(np.float32))
+    xy_b = xy_a + jnp.asarray([50.0, 0.0])  # uniform +50px x shift
+    va = jnp.ones(ka, bool)
+
+    from slam_tpu.ops import matching
+
+    # window admits the true +50px shift
+    m_ok = matching.mutual_match(a, b, va, va, xy_a=xy_a, xy_b=xy_b,
+                                 window=(0.0, 100.0, 5.0))
+    assert np.asarray(m_ok["matched"]).mean() > 0.95
+    assert (np.asarray(m_ok["target_idx"])[np.asarray(m_ok["matched"])] ==
+            np.arange(ka)[np.asarray(m_ok["matched"])]).all()
+    # window that excludes the shift: nothing matches
+    m_bad = matching.mutual_match(a, b, va, va, xy_a=xy_a, xy_b=xy_b,
+                                  window=(-100.0, 0.0, 5.0),
+                                  max_dist=1.0)
+    assert np.asarray(m_bad["matched"]).sum() == 0
+
+
+def test_windowed_pallas_matches_jnp_windowed():
+    ka = kb = 1024
+    a = unit_desc(jax.random.PRNGKey(11), ka)
+    perm = jax.random.permutation(jax.random.PRNGKey(12), ka)
+    b = a[perm]
+    rng = np.random.default_rng(1)
+    xy_a = jnp.asarray(rng.uniform(0, 500, (ka, 2)).astype(np.float32))
+    xy_b = xy_a[perm] + jnp.asarray([20.0, 3.0])
+    va = jnp.ones(ka, bool)
+    win = (0.0, 40.0, 6.0)
+
+    from slam_tpu.ops import matching
+
+    ref = matching.distance_matrix(a, b, va, va)
+    ref = ref + matching.window_penalty(xy_a, xy_b, win)
+    ref_idx = np.asarray(jnp.argmin(ref, axis=1))
+
+    out = pallas_kernels.mutual_match_pallas(
+        a, b, va, va, xy_a=xy_a, xy_b=xy_b, window=win, interpret=True
+    )
+    matched = np.asarray(out["matched"])
+    assert matched.mean() > 0.95
+    assert (np.asarray(out["target_idx"])[matched] == ref_idx[matched]).all()
+
+
 def test_mutual_match_pallas_matches_jnp():
     ka = kb = 1024
     a = unit_desc(jax.random.PRNGKey(2), ka)
