@@ -71,6 +71,8 @@ class BundleConfig:
     prior_sigma: float = 1e-3   # gauge prior on first pose
     min_depth: float = 0.1      # landmark pruning (ref z<0)
     max_depth: float = 1000.0   # landmark pruning (ref z>1000, bundle.py:184)
+    huber_delta_px: float = 0.0  # >0 enables IRLS Huber robust factors
+    # (slam_tpu addition; the reference uses pure Gaussian factors)
 
 
 @dataclass(frozen=True)

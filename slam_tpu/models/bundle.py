@@ -278,6 +278,7 @@ def optimize_windows(
             p0, x0, ci, li, ms, ww, calib,
             iters=cfg.lm_iters,
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+            huber_delta=cfg.huber_delta_px,
         )
     )
     cov_fn = jax.vmap(

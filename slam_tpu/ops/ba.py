@@ -153,7 +153,15 @@ def _cost(poses, points, cam_idx, lm_idx, meas, w, calib):
     return 0.5 * jnp.sum(r * r)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+def _huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS sqrt-weights for the Huber loss: 1 inside |r| <= delta,
+    sqrt(delta/|r|) outside. Applied per observation (3-vector norm)."""
+    nrm = jnp.linalg.norm(r, axis=-1)
+    s = jnp.sqrt(delta / jnp.maximum(nrm, delta))
+    return s
+
+
+@partial(jax.jit, static_argnames=("iters", "huber_delta"))
 @full_precision
 def optimize_bundle(
     poses: jnp.ndarray,
@@ -165,10 +173,16 @@ def optimize_bundle(
     calib: jnp.ndarray,
     iters: int = 20,
     lam0: float = 1e-4,
+    huber_delta: float = 0.0,
 ):
     """Levenberg-Marquardt on one window. Static iteration count with
     accept/reject damping (classic LM schedule: accept -> lam/3, reject ->
     lam*4 and keep state) — replaces gtsam LM (reference bundle.py:199-211).
+
+    ``huber_delta > 0`` enables an IRLS Huber robust loss (per-observation
+    reweighting each iteration) — a robustness upgrade over the reference's
+    pure Gaussian factors, useful when track outliers survive the RANSAC
+    gates.
 
     Returns (poses, points, final_cost, lam).
     """
@@ -177,7 +191,14 @@ def optimize_bundle(
     def step(carry, _):
         poses, points, lam, cost = carry
         r, Xc = _residuals(poses, points, cam_idx, lm_idx, meas, w, calib)
-        J_pose, J_lm = _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc)
+        if huber_delta > 0.0:
+            hw = _huber_weights(r, huber_delta)
+            r = r * hw[:, None]
+            w_eff = w * hw
+        else:
+            w_eff = w
+        J_pose, J_lm = _jacobians(poses, points, cam_idx, lm_idx, w_eff,
+                                  calib, Xc)
         dp, dl = _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam)
         new_poses = jax.vmap(se3.retract)(poses, dp)
         new_points = points + dl
@@ -216,12 +237,13 @@ def prune_depth_weights(
     return jnp.where(bad_lm[lm_idx], 0.0, w)
 
 
-@partial(jax.jit, static_argnames=("iters", "prune_rounds"))
+@partial(jax.jit, static_argnames=("iters", "prune_rounds", "huber_delta"))
 @full_precision
 def optimize_bundle_pruned(
     poses, points, cam_idx, lm_idx, meas, w, calib,
     iters: int = 20, prune_rounds: int = 2,
     min_depth: float = 0.1, max_depth: float = 1000.0,
+    huber_delta: float = 0.0,
 ):
     """LM with interleaved depth pruning (reference optimize_graph loop,
     bundle.py:199-211: optimize, drop z<0/z>1000 landmarks, re-optimize)."""
@@ -229,7 +251,8 @@ def optimize_bundle_pruned(
         w = prune_depth_weights(poses, points, cam_idx, lm_idx, w,
                                 min_depth, max_depth)
         poses, points, cost, _ = optimize_bundle(
-            poses, points, cam_idx, lm_idx, meas, w, calib, iters=iters
+            poses, points, cam_idx, lm_idx, meas, w, calib, iters=iters,
+            huber_delta=huber_delta,
         )
     w = prune_depth_weights(poses, points, cam_idx, lm_idx, w,
                             min_depth, max_depth)

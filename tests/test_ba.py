@@ -151,6 +151,35 @@ def test_covariance_matches_dense_inverse():
     assert np.abs(cov_schur[0]).max() == 0.0
 
 
+def test_huber_resists_outlier_measurements():
+    """With gross measurement outliers, Huber BA stays near truth while
+    Gaussian BA gets dragged."""
+    key = jax.random.PRNGKey(7)
+    poses_gt, points_gt, poses0, points0, ci, li, meas, w = make_problem(
+        key, noise_px=0.2
+    )
+    # corrupt 10% of measurements badly
+    k = jax.random.PRNGKey(8)
+    bad = jax.random.uniform(k, (meas.shape[0],)) < 0.1
+    meas_bad = jnp.where(bad[:, None], meas + 80.0, meas)
+
+    posesG, _, _, _ = ba.optimize_bundle(
+        poses0, points0, ci, li, meas_bad, w, CALIB, iters=15
+    )
+    posesH, _, _, _ = ba.optimize_bundle(
+        poses0, points0, ci, li, meas_bad, w, CALIB, iters=15,
+        huber_delta=2.0,
+    )
+
+    def pose_err(p):
+        return float(sum(
+            jnp.linalg.norm(se3.local(poses_gt[i], p[i])) for i in range(4)
+        ))
+
+    eG, eH = pose_err(posesG), pose_err(posesH)
+    assert eH < 0.5 * eG, (eG, eH)
+
+
 def test_depth_pruning_kills_bad_landmarks():
     key = jax.random.PRNGKey(4)
     poses_gt, points_gt, poses0, points0, ci, li, meas, w = make_problem(key)
