@@ -222,6 +222,26 @@ class TrackStore:
             num_tracks=np.int64(self.num_tracks),
         )
 
+    def save_frame(self, path: str | Path, frame_id: int) -> None:
+        """Snapshot a single frame's links/tracks (reference
+        serialize_frame, tracking_database.py:380-392)."""
+        np.savez_compressed(
+            str(path),
+            frame_id=np.int64(frame_id),
+            links=self.links[frame_id],
+            link_valid=self.link_valid[frame_id],
+            xy=self.xy[frame_id],
+            track_ids=self.track_ids[frame_id],
+        )
+
+    @staticmethod
+    def load_frame(path: str | Path) -> dict:
+        """Load a single-frame snapshot (reference load_frame,
+        tracking_database.py:395-408)."""
+        z = np.load(str(path))
+        return {k: z[k] for k in
+                ("frame_id", "links", "link_valid", "xy", "track_ids")}
+
     @staticmethod
     def load(path: str | Path) -> "TrackStore":
         z = np.load(str(path))

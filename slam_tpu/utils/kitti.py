@@ -89,6 +89,12 @@ def read_ground_truth(paths: KittiPaths) -> np.ndarray:
     return np.linalg.inv(T_c2w).astype(np.float32)
 
 
+def read_kth_camera(paths: KittiPaths, k: int) -> np.ndarray:
+    """Ground-truth extrinsic matrix of frame k (reference read_kth_camera,
+    Inputs.py:67-80)."""
+    return read_ground_truth(paths)[k]
+
+
 def _imread_gray(path: Path) -> np.ndarray:
     try:
         import cv2

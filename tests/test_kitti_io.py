@@ -81,6 +81,14 @@ def test_ground_truth_extrinsics(fake_kitti):
     np.testing.assert_allclose(camera_centers(T)[2], [0, 0, 2], atol=1e-5)
 
 
+def test_read_kth_camera(fake_kitti):
+    T2 = kitti.read_kth_camera(fake_kitti, 2)
+    from slam_tpu.utils.metrics import camera_centers
+
+    np.testing.assert_allclose(camera_centers(T2[None])[0], [0, 0, 2],
+                               atol=1e-5)
+
+
 def test_image_loading(fake_kitti):
     L, R, calib, gt = kitti.load_sequence(fake_kitti)
     assert L.shape == (3, 40, 60) and R.shape == (3, 40, 60)

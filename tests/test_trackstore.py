@@ -92,6 +92,15 @@ def test_serialization_roundtrip(store, tmp_path):
     loaded.check_consistency()
 
 
+def test_frame_snapshot_roundtrip(store, tmp_path):
+    p = tmp_path / "frame2.npz"
+    store.save_frame(p, 2)
+    snap = TrackStore.load_frame(p)
+    assert int(snap["frame_id"]) == 2
+    np.testing.assert_allclose(snap["links"], store.links[2])
+    np.testing.assert_array_equal(snap["track_ids"], store.track_ids[2])
+
+
 def test_stats(store):
     s = store.stats()
     assert s["num_tracks"] == 2
