@@ -60,6 +60,40 @@ def test_sharded_ba_matches_single_device(batch_and_calib):
     np.testing.assert_allclose(rel_cov, ref.rel_cov, rtol=0.05, atol=1e-7)
 
 
+def test_sharded_frontend_matches_single_device():
+    """Frame-axis-sharded frontend == single-device frontend (same chunk
+    boundaries => identical RANSAC keys => identical outputs)."""
+    import dataclasses
+
+    from slam_tpu.parallel import sharded_frontend
+    from slam_tpu.utils import metrics
+
+    scene = synthetic.make_scene(
+        jax.random.PRNGKey(13), num_frames=16, num_landmarks=2000,
+        hw=(128, 256), step_m=0.8,
+    )
+    L, R = synthetic.render_sequence(scene)
+    L, R = np.asarray(L), np.asarray(R)
+
+    m = mesh_lib.make_mesh()
+    # sharded step covers 2 * 8 = 16 frames in ONE step
+    cfg_sh = dataclasses.replace(CFG, runtime=RuntimeConfig(chunk_frames=2))
+    res_sh = sharded_frontend.run_frontend_sharded(L, R, scene.calib, m,
+                                                   cfg_sh)
+    # single-device reference with the same 16-frame chunking
+    cfg_1 = dataclasses.replace(CFG, runtime=RuntimeConfig(chunk_frames=16))
+    res_1 = frontend.run_frontend(L, R, scene.calib, cfg_1)
+
+    np.testing.assert_allclose(res_sh.xy, res_1.xy, atol=1e-4)
+    np.testing.assert_array_equal(res_sh.link_valid, res_1.link_valid)
+    np.testing.assert_array_equal(res_sh.match_prev, res_1.match_prev)
+    d = np.linalg.norm(
+        metrics.camera_centers(res_sh.T_w2c)
+        - metrics.camera_centers(res_1.T_w2c), axis=-1,
+    )
+    assert d.max() < 1e-3, d.max()
+
+
 def test_sharded_ba_pads_odd_window_counts(batch_and_calib):
     batch, calib = batch_and_calib
     # truncate to a count not divisible by 8
