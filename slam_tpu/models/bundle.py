@@ -261,12 +261,30 @@ def optimize_windows(
     calib,
     cfg: BundleConfig = BundleConfig(),
     device_batch: int = 64,
+    mesh=None,
 ) -> BundleResult:
     """Optimize all windows with the vmapped LM solver, then extract the
     per-window relative pose + covariance and the chained global keyframe
-    trajectory (reference get_all_bundles + pose-graph inputs)."""
+    trajectory (reference get_all_bundles + pose-graph inputs).
+
+    With ``mesh`` the window axis is sharded across the devices
+    (parallel/sharded_ba.py); otherwise windows run in ``device_batch``
+    groups on the default device.
+    """
     calib = jnp.asarray(calib, jnp.float32)
     B = batch.num_windows
+
+    if mesh is not None:
+        from ..parallel import sharded_ba
+
+        poses, points, w, cost, rel_T, rel_cov = (
+            sharded_ba.optimize_windows_sharded(batch, calib, mesh,
+                                                iters=cfg.lm_iters)
+        )
+        cost0 = np.zeros_like(cost)  # not tracked on the sharded path
+        return _assemble_bundle_result(
+            batch, poses, points, w, cost, cost0, rel_T, rel_cov
+        )
     out_poses, out_points, out_w, out_cost, out_cov = [], [], [], [], []
     out_cost0 = []
     cost0_fn = jax.vmap(
@@ -314,7 +332,14 @@ def optimize_windows(
     last = batch.n_poses - 1  # (B,)
     rel_T = poses[np.arange(B), last]            # (B, 4, 4)
     rel_cov = covs[np.arange(B), last]           # (B, 6, 6)
+    return _assemble_bundle_result(
+        batch, poses, points, w, cost, cost0, rel_T, rel_cov
+    )
 
+
+def _assemble_bundle_result(batch, poses, points, w, cost, cost0, rel_T,
+                            rel_cov) -> BundleResult:
+    B = batch.num_windows
     # chain keyframe poses: T_w2c[kf_{i+1}] = rel_T[i] @ T_w2c[kf_i]
     T_kf = np.zeros((B + 1, 4, 4), np.float32)
     T_kf[0] = np.eye(4)
@@ -335,13 +360,14 @@ def run_bundles(
     T_w2c: np.ndarray,
     calib,
     cfg: SlamConfig = SlamConfig(),
+    mesh=None,
 ) -> BundleResult:
     """Full backend stage 2 (reference project.py:41-62): keyframes ->
-    windows -> batched LM."""
+    windows -> batched LM (window axis mesh-sharded when ``mesh`` given)."""
     kfs = select_keyframes(db, T_w2c, cfg.keyframes)
     batch = build_windows(db, T_w2c, kfs, cfg.bundle)
     init_landmarks(batch, calib)
-    return optimize_windows(batch, calib, cfg.bundle)
+    return optimize_windows(batch, calib, cfg.bundle, mesh=mesh)
 
 
 def frame_poses_from_bundles(res: BundleResult, num_frames: int) -> np.ndarray:

@@ -68,8 +68,14 @@ def run_pipeline(
     cache_dir: str | Path | None = None,
     run_loop_closure: bool = True,
     verbose: bool = True,
+    mesh=None,
 ) -> PipelineResult:
-    """The full pipeline (reference run_project, project.py:27-94)."""
+    """The full pipeline (reference run_project, project.py:27-94).
+
+    With ``mesh`` (a jax.sharding.Mesh) the frontend shards the frame axis
+    and bundle adjustment shards the window axis across the devices
+    (parallel/sharded_frontend.py, parallel/sharded_ba.py).
+    """
     timings = {}
     log = print if verbose else (lambda *a, **k: None)
 
@@ -85,15 +91,21 @@ def run_pipeline(
         cache.mkdir(parents=True, exist_ok=True)
 
     # stage 1+2: frontend + track store
-    fe = timed("frontend", lambda: frontend_mod.run_frontend(
-        images_left, images_right, calib, cfg))
+    if mesh is not None:
+        from .parallel.sharded_frontend import run_frontend_sharded
+
+        fe = timed("frontend", lambda: run_frontend_sharded(
+            images_left, images_right, calib, mesh, cfg))
+    else:
+        fe = timed("frontend", lambda: frontend_mod.run_frontend(
+            images_left, images_right, calib, cfg))
     db = timed("trackstore", lambda: TrackStore.from_frontend(fe))
     if cache:
         db.save(cache / "trackstore.npz")
 
     # stage 3: bundles
     bundles = timed("bundles", lambda: bundle_mod.run_bundles(
-        db, fe.T_w2c, calib, cfg))
+        db, fe.T_w2c, calib, cfg, mesh=mesh))
 
     # stage 4: pose graph
     def _pg():
