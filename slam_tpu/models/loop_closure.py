@@ -61,6 +61,28 @@ from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("num_hypotheses",))
+def _verify_candidates_multi(
+    key,
+    desc_q, valid_q, links_q, lvalid_q,           # (Q, ...) query keyframes
+    desc_cands, valid_cands, links_cands, lvalid_cands,  # (Q, C, ...)
+    calib, num_hypotheses: int, threshold: float,
+):
+    """Verify C candidates for each of Q query keyframes in ONE call
+    (nested vmap). Between posterior refreshes the candidate sets of
+    successive keyframes are known in advance, so the sequential scan can
+    verify speculatively in blocks — Q x fewer device round-trips."""
+    Q = desc_q.shape[0]
+    keys = jax.random.split(key, Q)
+    return jax.vmap(
+        lambda k_, dq, vq, lq, lvq, dc, vc, lc_, lvc: _verify_candidates(
+            k_, dq, vq, lq, lvq, dc, vc, lc_, lvc,
+            calib, num_hypotheses, threshold,
+        )
+    )(keys, desc_q, valid_q, links_q, lvalid_q,
+      desc_cands, valid_cands, links_cands, lvalid_cands)
+
+
+@_partial(jax.jit, static_argnames=("num_hypotheses",))
 def _verify_candidates(
     key,
     desc_j, valid_j, links_j, lvalid_j,          # the query keyframe
@@ -185,14 +207,55 @@ def find_loops(
     D = all_pairs_gate()
     closures: list[Closure] = []
     last_target: int | None = None  # familiar-segment state
+    spec: dict[int, tuple] = {}     # speculative verification results
+    SPEC_Q = 4                      # keyframes verified per device call
+
+    def gated(n_):
+        d_ = D[n_, : n_ - lc.keyframe_gap + 1]
+        if d_.size == 0:
+            return d_, np.zeros(0, np.int64)
+        order = np.argsort(d_)
+        return d_, order[d_[order] < lc.mahalanobis_thresh][: lc.max_candidates]
+
+    def speculate(start_n, key):
+        """Verify candidates of up to SPEC_Q gated keyframes >= start_n in
+        one batched call; fill ``spec``."""
+        batch = []
+        m = start_n
+        while m < N and len(batch) < SPEC_Q:
+            _, g = gated(m)
+            if len(g):
+                gp = np.concatenate(
+                    [g, np.repeat(g[:1], lc.max_candidates - len(g))]
+                )
+                batch.append((m, len(g), gp))
+            m += 1
+        if not batch:
+            return
+        while len(batch) < SPEC_Q:  # pad to static Q (results discarded)
+            batch.append(batch[-1])
+        ns = [b[0] for b in batch]
+        f_q = np.asarray([kfs[b[0]] for b in batch])
+        f_c = np.asarray([[kfs[int(g)] for g in b[2]] for b in batch])
+        vr = _verify_candidates_multi(
+            key,
+            jnp.asarray(desc[f_q]), jnp.asarray(desc_valid[f_q]),
+            jnp.asarray(db.links[f_q]), jnp.asarray(db.link_valid[f_q]),
+            jnp.asarray(desc[f_c]), jnp.asarray(desc_valid[f_c]),
+            jnp.asarray(db.links[f_c]), jnp.asarray(db.link_valid[f_c]),
+            calib, cfg.ransac.num_hypotheses, cfg.ransac.threshold_px,
+        )
+        vr = jax.tree.map(np.asarray, vr)
+        for qi, (m_, n_good_, gp_) in enumerate(batch):
+            if m_ not in spec:
+                spec[m_] = (
+                    jax.tree.map(lambda x: x[qi], vr), n_good_, gp_,
+                    f_c[qi],
+                )
 
     for n in range(lc.keyframe_gap, N):
         # ---- gate: all earlier keyframes (precomputed batched sweep) ----
-        d = D[n, : n - lc.keyframe_gap + 1]
-        if d.size == 0:
-            continue
-        order = np.argsort(d)
-        good = order[d[order] < lc.mahalanobis_thresh][: lc.max_candidates]
+        d, good = gated(n)
         if len(good) == 0:
             continue
 
@@ -202,24 +265,11 @@ def find_loops(
             last_target = best_target
             continue
 
-        # ---- verification: batched matching + RANSAC --------------------
-        # pad the candidate set to a static width so the vmapped verifier
-        # compiles exactly once for the whole scan
-        n_good = len(good)
-        good_p = np.concatenate(
-            [good, np.repeat(good[:1], lc.max_candidates - n_good)]
-        )
-        fj = kfs[n]
-        f_cands = np.asarray([kfs[int(g)] for g in good_p])
-        key, sub = jax.random.split(key)
-        vr = _verify_candidates(
-            sub,
-            jnp.asarray(desc[fj]), jnp.asarray(desc_valid[fj]),
-            jnp.asarray(db.links[fj]), jnp.asarray(db.link_valid[fj]),
-            jnp.asarray(desc[f_cands]), jnp.asarray(desc_valid[f_cands]),
-            jnp.asarray(db.links[f_cands]), jnp.asarray(db.link_valid[f_cands]),
-            calib, cfg.ransac.num_hypotheses, cfg.ransac.threshold_px,
-        )
+        # ---- verification (speculative batched matching + RANSAC) -------
+        if n not in spec:
+            key, sub = jax.random.split(key)
+            speculate(n, sub)
+        vr, n_good, good_p, f_cands = spec.pop(n)
         n_inl = np.asarray(vr["num_inliers"])
         ok = np.asarray(vr["ok"]) & (n_inl > lc.min_inliers)
         ok[n_good:] = False  # padding lanes never accepted
@@ -231,6 +281,7 @@ def find_loops(
         ci_local = int(np.nonzero(ok)[0][0])
         g = int(good_p[ci_local])
         fi = int(f_cands[ci_local])
+        fj = kfs[n]
 
         # ---- mini-bundle refinement --------------------------------------
         rel_T, rel_cov = _refine_pair(
@@ -252,6 +303,7 @@ def find_loops(
         )
         # ---- insert edge + re-optimize + refresh covariance --------------
         pg.add_edge(g, n, rel_T, rel_cov, loop=True)
+        spec.clear()  # the posterior changed; discard speculation
         if reoptimize_every:
             pg.optimize()
             D = all_pairs_gate()
