@@ -77,9 +77,13 @@ class BundleConfig:
 
 @dataclass(frozen=True)
 class LoopConfig:
-    # reference loop_closure.py:15-20
+    # reference loop_closure.py:15-20. The reference's FAR far-skip factor
+    # (x7, :16,:221) is intentionally absent: it subsamples the sequential
+    # per-pair Dijkstra scan when everything is far (and is a no-op bug in
+    # the reference — `c_i_index += 2` inside a `for` loop); the batched
+    # all-pairs Mahalanobis sweep prices every pair in one matmul, so there
+    # is no scan to skip.
     mahalanobis_thresh: float = 220.0
-    far_factor: float = 7.0
     min_inliers: int = 120
     max_candidates: int = 15
     keyframe_gap: int = 10

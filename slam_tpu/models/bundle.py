@@ -144,9 +144,19 @@ def build_windows(
     frames_arr = np.full((B, P), -1, np.int32)
     track_of_lm = np.full((B, L), -1, np.int32)
 
+    total_obs_dropped = 0
     for bi in range(B):
         k0, k1 = keyframes[bi], keyframes[bi + 1]
-        frames = list(range(k0, min(k1, k0 + P - 1) + 1))
+        if k1 - k0 > P - 1:
+            # never truncate silently: a window cut at k0+P-1 would make
+            # rel_T/rel_cov describe the wrong frame and corrupt every
+            # downstream pose-graph edge
+            raise ValueError(
+                f"keyframe gap {k1 - k0} (window {bi}: {k0}->{k1}) exceeds "
+                f"BundleConfig.max_poses-1 = {P - 1}; raise max_poses or "
+                f"lower KeyframeConfig.max_gap"
+            )
+        frames = list(range(k0, k1 + 1))
         n = len(frames)
         n_poses[bi] = n
         frames_arr[bi, :n] = frames
@@ -172,7 +182,25 @@ def build_windows(
         keep = np.isin(trs, good)
         trs, frs, slots = trs[keep], frs[keep], slots[keep]
         if len(trs) > M:
-            trs, frs, slots = trs[:M], frs[:M], slots[:M]
+            # capacity overflow: keep the observations of the longest
+            # in-window tracks (they constrain the window pose best), never
+            # an arbitrary array prefix; count and report the drop. The
+            # reference keeps every factor (bundle.py:129-169) — this is the
+            # static-shape price, paid for the least informative obs first.
+            rows_lm = np.array([lm_row[int(t)] for t in trs], np.int64)
+            cnt = np.zeros(len(good), np.int64)
+            np.add.at(cnt, rows_lm, 1)
+            order = np.lexsort((frs, trs, -cnt[rows_lm]))
+            keep_rows = np.sort(order[:M])
+            total_obs_dropped += len(trs) - M
+            trs, frs, slots = trs[keep_rows], frs[keep_rows], slots[keep_rows]
+            # a track cut below 2 obs no longer constrains anything
+            u2, c2 = np.unique(trs, return_counts=True)
+            bad = u2[c2 < 2]
+            if len(bad):
+                k2 = ~np.isin(trs, bad)
+                total_obs_dropped += int((~k2).sum())
+                trs, frs, slots = trs[k2], frs[k2], slots[k2]
         mrows = len(trs)
         li = np.array([lm_row[int(t)] for t in trs], np.int32)
         ci = (frs - k0).astype(np.int32)
@@ -201,6 +229,15 @@ def build_windows(
         points0[bi, : len(good), 0] = best_row  # temp: row index
         points0[bi, : len(good), 1] = -12345.0  # marker
 
+    if total_obs_dropped:
+        import warnings
+
+        warnings.warn(
+            f"build_windows: dropped {total_obs_dropped} observations over "
+            f"{B} windows (max_obs={M} capacity); kept the longest-track "
+            f"observations. Raise BundleConfig.max_obs to keep them all.",
+            stacklevel=2,
+        )
     return BundleBatch(
         poses0=poses0,
         points0=points0,
@@ -277,11 +314,13 @@ def optimize_windows(
     if mesh is not None:
         from ..parallel import sharded_ba
 
-        poses, points, w, cost, rel_T, rel_cov = (
-            sharded_ba.optimize_windows_sharded(batch, calib, mesh,
-                                                iters=cfg.lm_iters)
+        poses, points, w, cost, cost0, rel_T, rel_cov = (
+            sharded_ba.optimize_windows_sharded(
+                batch, calib, mesh, iters=cfg.lm_iters,
+                min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+                huber_delta=cfg.huber_delta_px,
+            )
         )
-        cost0 = np.zeros_like(cost)  # not tracked on the sharded path
         return _assemble_bundle_result(
             batch, poses, points, w, cost, cost0, rel_T, rel_cov
         )

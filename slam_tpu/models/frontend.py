@@ -47,6 +47,7 @@ class FrontendResult:
 
     xy: np.ndarray            # (F, K, 2) left-image keypoints
     desc: np.ndarray          # (F, K, D) descriptors (bf16->f32 on host)
+    valid: np.ndarray         # (F, K) keypoint-slot validity
     links: np.ndarray         # (F, K, 3) stereo links (xl, xr, y)
     link_valid: np.ndarray    # (F, K) stereo-gated validity
     match_prev: np.ndarray    # (F, K) idx into frame f-1 slots, -1 if none
@@ -56,6 +57,14 @@ class FrontendResult:
     T_w2c: np.ndarray         # (F, 4, 4) chained global extrinsics
     num_inliers: np.ndarray   # (F,)
     inlier_frac: np.ndarray   # (F,) inliers / valid correspondences
+    pose_ok: np.ndarray       # (F,) RANSAC produced a usable pose (frame 0
+    #                           and recovered frames are False)
+
+    @property
+    def num_pose_failures(self) -> int:
+        """Frames (beyond frame 0) whose pose fell back to the previous
+        relative transform (reference ex4_v2.py:1085-1104 recovery)."""
+        return int((~self.pose_ok[1:]).sum())
 
 
 def _pair_correspondences(prev_links, prev_link_valid, cur_links,
@@ -187,11 +196,30 @@ def process_chunk(
         )
     )(keys, pw, meas, corr_valid)
 
+    # failure recovery: a frame whose RANSAC failed (no solution, or fewer
+    # than min_inliers agreeing correspondences) would otherwise inject an
+    # identity T_rel into the global chain and corrupt every later pose.
+    # Policy (reference ex4_v2.py:1085-1104): reuse the last good relative
+    # transform (constant-velocity fallback). Sequential over the chunk but
+    # O(F) tiny 4x4 selects — a lax.scan carrying the last good T.
+    pose_ok = rr["ok"] & (rr["num_inliers"] >= cfg.ransac.min_inliers)
+    T_est = rr["T_w2c"]  # (F, 4, 4): prev-cam -> cur-cam
+    last_T0 = (
+        jnp.eye(4, dtype=T_est.dtype)
+        if carry_feats is None else carry_feats["last_T"]
+    )
+
+    def recover(last_good, ok_T):
+        ok_t, T_t = ok_T
+        T_eff = jnp.where(ok_t, T_t, last_good)
+        return T_eff, T_eff
+
+    _, T_rel = jax.lax.scan(recover, last_T0, (pose_ok, T_est))
+
     # chain: global extrinsics via associative prefix product of T_rel.
     # T_w2c[t] = T_rel[t] @ T_rel[t-1] @ ... @ T_rel[0] (reverse-order matmul
     # is associative). Full f32 precision: bf16 MXU passes would accumulate
     # visible drift over thousands of chained 4x4 products.
-    T_rel = rr["T_w2c"]  # (F, 4, 4): prev-cam -> cur-cam
     with jax.default_matmul_precision("float32"):
         T_chain = jax.lax.associative_scan(lambda a, b: b @ a, T_rel)
 
@@ -222,6 +250,7 @@ def process_chunk(
         # f16 halves the device->host readback; descriptors live in
         # [0, 0.2] so the precision loss is far below matching noise
         "desc": desc.astype(jnp.float16),
+        "valid": valid,
         "links": links,
         "link_valid": link_valid,
         "match_prev": match_prev,
@@ -231,7 +260,7 @@ def process_chunk(
         "T_chain": T_chain,
         "num_inliers": rr["num_inliers"],
         "inlier_frac": rr["num_inliers"] / jnp.maximum(num_corr, 1),
-        "pose_ok": rr["ok"],
+        "pose_ok": pose_ok,
     }
     new_carry = {
         "desc": desc[-1],
@@ -239,13 +268,14 @@ def process_chunk(
         "links": links[-1],
         "link_valid": link_valid[-1],
         "xy": xy[-1],
+        "last_T": T_rel[-1],
     }
     return out, new_carry
 
 
 _CKPT_KEYS = (
-    "xy", "desc", "links", "link_valid", "match_prev", "match_dist",
-    "inlier_prev", "T_rel", "num_inliers", "inlier_frac",
+    "xy", "desc", "valid", "links", "link_valid", "match_prev", "match_dist",
+    "inlier_prev", "T_rel", "num_inliers", "inlier_frac", "pose_ok",
 )
 
 
@@ -257,7 +287,6 @@ def _save_checkpoint(path, outs, T_w2c_all, carry, T_carry, next_start):
         blob[k] = np.concatenate([o[k] for o in outs], axis=0)
     blob["T_chain"] = np.concatenate([o["T_chain"] for o in outs], axis=0)
     blob["T_w2c"] = np.concatenate(T_w2c_all, axis=0)
-    blob["pose_ok"] = np.concatenate([o["pose_ok"] for o in outs], axis=0)
     for k, v in (carry or {}).items():
         blob[f"carry_{k}"] = np.asarray(v)
     blob["T_carry"] = T_carry
@@ -270,7 +299,6 @@ def load_frontend_checkpoint(path):
     z = np.load(str(path))
     out = {k: z[k] for k in _CKPT_KEYS}
     out["T_chain"] = z["T_chain"]
-    out["pose_ok"] = z["pose_ok"]
     carry_keys = [k for k in z.files if k.startswith("carry_")]
     carry = None
     if carry_keys:
@@ -301,7 +329,9 @@ def run_frontend(
     F = images_left.shape[0]
     calib = jnp.asarray(calib, jnp.float32)
     chunk = cfg.runtime.chunk_frames
-    key = jax.random.PRNGKey(cfg.seed)
+    # position-based key stream: chunk i always gets fold_in(seed, i), so a
+    # resumed run is bit-identical to an uninterrupted one
+    base_key = jax.random.PRNGKey(cfg.seed)
 
     dtype = images_left.dtype if images_left.dtype == np.uint8 else np.float32
 
@@ -341,7 +371,7 @@ def run_frontend(
                 jax.device_put(next_blocks[0]),
                 jax.device_put(next_blocks[1]),
             )
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(base_key, start // chunk)
         out, carry = process_chunk(block_l, block_r, carry, calib, sub, cfg)
         out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
         # stitch global chain across chunks
@@ -370,6 +400,7 @@ def _assemble_result(outs, T_w2c_all) -> FrontendResult:
     return FrontendResult(
         xy=cat("xy"),
         desc=cat("desc"),
+        valid=cat("valid"),
         links=cat("links"),
         link_valid=cat("link_valid"),
         match_prev=cat("match_prev"),
@@ -379,4 +410,5 @@ def _assemble_result(outs, T_w2c_all) -> FrontendResult:
         T_w2c=T_w2c,
         num_inliers=cat("num_inliers"),
         inlier_frac=cat("inlier_frac"),
+        pose_ok=cat("pose_ok"),
     )

@@ -21,9 +21,11 @@ TPU re-design:
   * The accepted pair is refined by a 2-pose mini-bundle using the SAME
     Schur-LM solver as the main windows (P=2), yielding the relative pose
     and its covariance for the new graph edge.
-  * Familiar-path suppression (:311-349) stays host-side (sequential,
-    cheap): while consecutive keyframes keep closing onto the same old
-    segment, further closures are suppressed until the segment is left.
+  * Familiar-path handling (:311-349) stays host-side (sequential,
+    cheap): after an accepted closure, candidates of subsequent keyframes
+    are deferred while the vehicle re-traverses the familiar segment; on
+    leaving it, the deferred keyframes are re-verified from the back and
+    exactly one more closure is committed (reference :334-347).
 """
 
 from __future__ import annotations
@@ -206,7 +208,6 @@ def find_loops(
 
     D = all_pairs_gate()
     closures: list[Closure] = []
-    last_target: int | None = None  # familiar-segment state
     spec: dict[int, tuple] = {}     # speculative verification results
     SPEC_Q = 4                      # keyframes verified per device call
 
@@ -253,19 +254,13 @@ def find_loops(
                     f_c[qi],
                 )
 
-    for n in range(lc.keyframe_gap, N):
-        # ---- gate: all earlier keyframes (precomputed batched sweep) ----
+    def verify_one(n):
+        """Verify keyframe n's gated candidates (speculative batched
+        matching + RANSAC). Returns the winning candidate tuple or None."""
+        nonlocal key
         d, good = gated(n)
         if len(good) == 0:
-            continue
-
-        # ---- familiar-path suppression ----------------------------------
-        best_target = int(good[0])
-        if last_target is not None and abs(best_target - last_target) <= 3:
-            last_target = best_target
-            continue
-
-        # ---- verification (speculative batched matching + RANSAC) -------
+            return None
         if n not in spec:
             key, sub = jax.random.split(key)
             speculate(n, sub)
@@ -274,39 +269,79 @@ def find_loops(
         ok = np.asarray(vr["ok"]) & (n_inl > lc.min_inliers)
         ok[n_good:] = False  # padding lanes never accepted
         if not ok.any():
-            last_target = None
-            continue
+            return None
         # first passing candidate in gate order (reference consensus_matches
         # takes the first with enough inliers, :588-592)
         ci_local = int(np.nonzero(ok)[0][0])
         g = int(good_p[ci_local])
-        fi = int(f_cands[ci_local])
-        fj = kfs[n]
-
-        # ---- mini-bundle refinement --------------------------------------
-        rel_T, rel_cov = _refine_pair(
-            db.links[fi], db.links[fj],
+        return (
+            g, int(f_cands[ci_local]), int(n_inl[ci_local]),
+            float(np.asarray(vr["frac"])[ci_local]),
             np.asarray(vr["inliers"][ci_local]),
             np.asarray(vr["match_tgt"][ci_local]),
-            np.asarray(vr["T"][ci_local]), calib,
-            max_landmarks=cfg.bundle.max_landmarks,
+            np.asarray(vr["T"][ci_local]), float(d[g]),
         )
 
+    def commit(n, hit):
+        """Mini-bundle refinement + edge insertion + posterior refresh."""
+        nonlocal D
+        g, fi, n_inl, frac, inliers, match_tgt, T0, maha = hit
+        fj = kfs[n]
+        rel_T, rel_cov = _refine_pair(
+            db.links[fi], db.links[fj], inliers, match_tgt, T0, calib,
+            max_landmarks=cfg.bundle.max_landmarks,
+        )
         closures.append(
             Closure(
                 kf_i=g, kf_j=n, frame_i=fi, frame_j=fj,
-                num_inliers=int(n_inl[ci_local]),
-                inlier_frac=float(np.asarray(vr["frac"])[ci_local]),
-                rel_T=rel_T, rel_cov=rel_cov,
-                mahalanobis=float(d[g]),
+                num_inliers=n_inl, inlier_frac=frac,
+                rel_T=rel_T, rel_cov=rel_cov, mahalanobis=maha,
             )
         )
-        # ---- insert edge + re-optimize + refresh covariance --------------
         pg.add_edge(g, n, rel_T, rel_cov, loop=True)
         spec.clear()  # the posterior changed; discard speculation
         if reoptimize_every:
             pg.optimize()
             D = all_pairs_gate()
-        last_target = g
+
+    def commit_from_back(deferred):
+        """Leaving a familiar segment: re-verify the deferred keyframes in
+        reverse order and commit the FIRST that passes (the reference
+        commits exactly one closure per familiar segment, from the back —
+        loop_closure.py:334-347)."""
+        for n_ in reversed(deferred):
+            hit = verify_one(n_)
+            if hit is not None:
+                commit(n_, hit)
+                return
+
+    # ---- scan (reference find_loops state machine, :311-349) -------------
+    # While traversing a familiar segment (consecutive keyframes that keep
+    # gating onto old keyframes after an accepted closure), further
+    # closures are deferred; on leaving the segment exactly one deferred
+    # closure (from the back) is committed. One deviation from the
+    # reference, documented: the reference only resets its familiar flag
+    # when the deferred list is non-empty (:337-349), which lets the flag
+    # leak across isolated closures; here the flag resets whenever a
+    # keyframe has no gated candidates (the intended semantics).
+    familiar = False
+    deferred: list[int] = []
+    for n in range(lc.keyframe_gap, N):
+        d, good = gated(n)
+        if len(good) == 0:
+            if deferred:
+                commit_from_back(deferred)
+            familiar = False
+            deferred = []
+            continue
+        if familiar:
+            deferred.append(n)
+            continue
+        hit = verify_one(n)
+        if hit is not None:
+            commit(n, hit)
+            familiar = True
+    if deferred:  # sequence ended inside a familiar segment
+        commit_from_back(deferred)
 
     return closures

@@ -45,7 +45,8 @@ def run_frontend_pipelined(
     F = len(left_paths)
     chunk = cfg.runtime.chunk_frames
     calib_j = jnp.asarray(calib, jnp.float32)
-    key = jax.random.PRNGKey(cfg.seed)
+    # position-based keys, identical to models/frontend.run_frontend
+    base_key = jax.random.PRNGKey(cfg.seed)
 
     if runtime._load():
         loader = runtime.StereoPrefetcher(
@@ -80,11 +81,11 @@ def run_frontend_pipelined(
             [x, np.zeros((chunk - n,) + x.shape[1:], x.dtype)]
         )
 
-    for L, R in blocks:
+    for ci, (L, R) in enumerate(blocks):
         n = L.shape[0]
         Lj = jax.device_put(pad(L, n))
         Rj = jax.device_put(pad(R, n))
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(base_key, ci)
         out, carry = frontend_mod.process_chunk(Lj, Rj, carry, calib_j, sub,
                                                 cfg)
         # defer materialization by one chunk: the loader decodes the next

@@ -80,7 +80,7 @@ def run_frontend_sharded(
     step_frames = cfg.runtime.chunk_frames * n_dev
     step_first = frontend_training_step(mesh, cfg, calib, with_carry=False)
     step_carry = frontend_training_step(mesh, cfg, calib, with_carry=True)
-    key = jax.random.PRNGKey(cfg.seed)
+    base_key = jax.random.PRNGKey(cfg.seed)
 
     outs = []
     T_w2c_all = []
@@ -94,7 +94,7 @@ def run_frontend_sharded(
             pad = step_frames - n
             bl = np.concatenate([bl, np.zeros((pad,) + bl.shape[1:], bl.dtype)])
             br = np.concatenate([br, np.zeros((pad,) + br.shape[1:], br.dtype)])
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(base_key, start // step_frames)
         if carry is None:
             out, carry = step_first(jnp.asarray(bl), jnp.asarray(br), sub)
         else:

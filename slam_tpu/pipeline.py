@@ -122,8 +122,7 @@ def run_pipeline(
     closures = []
     if run_loop_closure:
         closures = timed("loop_closure", lambda: lc_mod.find_loops(
-            pg, db, fe.desc, np.linalg.norm(fe.desc, axis=-1) > 1e-6,
-            calib, cfg))
+            pg, db, fe.desc, fe.valid, calib, cfg))
         log(f"[pipeline] {len(closures)} loop closures: "
             f"{[(c.frame_i, c.frame_j, c.num_inliers) for c in closures]}")
         if cache:
@@ -159,6 +158,7 @@ def evaluate(result: PipelineResult, T_gt: np.ndarray) -> dict:
         "pose_graph_kf": metrics.trajectory_summary(
             result.pose_graph_pre_lc.nodes, gt_kf),
         "num_closures": len(result.closures),
+        "num_pose_failures": result.frontend.num_pose_failures,
         "timings_s": result.timings,
         "db_stats": result.db.stats(),
     }

@@ -63,15 +63,18 @@ def straight_trajectory(num_frames: int, step_m: float = 1.0) -> jnp.ndarray:
     return se3.make_T(Rt, -jnp.einsum("fij,fj->fi", Rt, centers))
 
 
-def loop_trajectory(num_frames: int, radius: float = 60.0) -> jnp.ndarray:
+def loop_trajectory(num_frames: int, radius: float = 60.0,
+                    turns: float = 1.0) -> jnp.ndarray:
     """Closed circular loop (revisits the start) for loop-closure tests.
 
     Parametrized so the camera starts at the origin looking along +z and
     drives the circle counter-clockwise (circle center at (radius, 0) in
     the x-z plane); yaw equals the path angle so the camera always faces
-    the tangent.
+    the tangent. ``turns > 1`` keeps driving around — the re-traversal of
+    an already-mapped segment (a "familiar path", reference
+    loop_closure.py:311-349).
     """
-    ang = jnp.linspace(0.0, 2.0 * jnp.pi, num_frames)
+    ang = jnp.linspace(0.0, turns * 2.0 * jnp.pi, num_frames)
     cx = radius * (1.0 - jnp.cos(ang))
     cz = radius * jnp.sin(ang)
     centers = jnp.stack([cx, jnp.zeros_like(cx), cz], axis=-1)
@@ -91,6 +94,7 @@ def make_scene(
     step_m: float = 1.0,
     corridor_halfwidth: float = 25.0,
     loop_radius: float = 25.0,
+    loop_turns: float = 1.0,
 ) -> Scene:
     if calib is None:
         # scale KITTI intrinsics to the requested resolution
@@ -117,7 +121,8 @@ def make_scene(
                                 maxval=length + 60.0)
         landmarks = jnp.stack([lx, ly, lz], axis=-1)
     elif trajectory == "loop":
-        T_w2c = loop_trajectory(num_frames, radius=loop_radius)
+        T_w2c = loop_trajectory(num_frames, radius=loop_radius,
+                                turns=loop_turns)
         k1, k2, k3, k4 = jax.random.split(key, 4)
         # landmarks in an annulus around the circular path
         ang = jax.random.uniform(k1, (num_landmarks,), maxval=2.0 * jnp.pi)
@@ -243,33 +248,79 @@ def render_frame(scene: Scene, frame: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     return left, right
 
 
+def _splat_np(hw, us, vs, weights, radius: int = 2, sigma: float = 1.0):
+    """Host (numpy) twin of _splat: the (2r+1)^2 stamped Gaussian scatter
+    as bincount accumulation — ~50x faster than eager per-op dispatch and
+    independent of any accelerator, which matters for rendering
+    reference-scale (3360-frame) sequences."""
+    H, W = hw
+    us = us.astype(np.float32)
+    vs = vs.astype(np.float32)
+    ui = np.floor(us).astype(np.int64)
+    vi = np.floor(vs).astype(np.int64)
+    fu = us - ui
+    fv = vs - vi
+    img = np.zeros(H * W, np.float64)
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            w = weights * np.exp(-((dx - fu) ** 2 + (dy - fv) ** 2) * inv2s2)
+            x = ui + dx
+            y = vi + dy
+            inb = (x >= 0) & (x < W) & (y >= 0) & (y < H)
+            if not inb.any():
+                continue
+            img += np.bincount(y[inb] * W + x[inb],
+                               weights=w[inb].astype(np.float64),
+                               minlength=H * W)
+    return img.reshape(H, W).astype(np.float32)
+
+
+def render_frame_np(scene: Scene, frame: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host twin of render_frame (identical scene model, numpy math)."""
+    if scene.render_points is not None:
+        pts = np.asarray(scene.render_points)
+        intens = np.asarray(scene.render_intens)
+    else:
+        pts = np.asarray(scene.landmarks)
+        intens = np.asarray(scene.intensities)
+    T = np.asarray(scene.T_w2c[frame])
+    fx, fy, cx, cy, base = np.asarray(scene.calib)
+    pc = pts @ T[:3, :3].T + T[:3, 3]
+    z = pc[:, 2]
+    H, W = scene.hw
+    zc = np.where(z > 1e-6, z, 1.0)
+    uL = fx * pc[:, 0] / zc + cx
+    uR = fx * (pc[:, 0] - base) / zc + cx
+    v = fy * pc[:, 1] / zc + cy
+    vis = (
+        (z > 1.0) & (z < 200.0)
+        & (uL >= 0) & (uL < W) & (uR >= 0) & (uR < W) & (v >= 0) & (v < H)
+    )
+    w = intens * np.clip(20.0 / np.maximum(z, 1.0), 0.5, 2.0)
+    uL, uR, v, w = uL[vis], uR[vis], v[vis], w[vis]
+    left = _splat_np(scene.hw, uL, v, w)
+    right = _splat_np(scene.hw, uR, v, w)
+    yy = np.linspace(0, 4 * np.pi, H, dtype=np.float32)[:, None]
+    bg = 0.02 * np.sin(yy + frame * 0.1) * np.ones((1, W), np.float32)
+    left = np.clip(left + bg + 0.05, 0.0, 1.0).astype(np.float32)
+    right = np.clip(right + bg + 0.05, 0.0, 1.0).astype(np.float32)
+    return left, right
+
+
 def render_sequence(
-    scene: Scene, chunk: int = 32, on_cpu: bool = False
+    scene: Scene, chunk: int = 32, on_cpu: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     """Render all frames -> host numpy (F, H, W) float32 pairs.
 
-    Chunked so the vmapped splatting program stays small enough to compile
-    quickly; ``on_cpu=True`` forces the host backend (useful when the
-    accelerator is remote and readback-bound).
-    """
-    F = scene.T_w2c.shape[0]
-    devices = jax.devices("cpu") if on_cpu else [None]
-    ctx = jax.default_device(devices[0]) if devices[0] is not None else None
-
-    def _render_all():
-        Ls, Rs = [], []
-        # eager vmap (NOT jit): the 25-tap scatter-splat compiles
-        # pathologically slowly as one fused program on some backends,
-        # while op-by-op dispatch of the batched scatters is fast
-        fn = jax.vmap(lambda f: render_frame(scene, f))
-        for s in range(0, F, chunk):
-            frames = jnp.arange(s, min(s + chunk, F))
-            L, R = fn(frames)
-            Ls.append(np.asarray(L))
-            Rs.append(np.asarray(R))
-        return np.concatenate(Ls), np.concatenate(Rs)
-
-    if ctx is not None:
-        with ctx:
-            return _render_all()
-    return _render_all()
+    Rendering is synthetic-data generation, not a pipeline stage: it runs
+    on the host (vectorized numpy splatting) so it never competes with the
+    accelerator and scales to reference-length sequences. ``on_cpu`` is
+    kept for API compatibility (the host path is always used)."""
+    F = int(scene.T_w2c.shape[0])
+    H, W = scene.hw
+    L = np.empty((F, H, W), np.float32)
+    R = np.empty((F, H, W), np.float32)
+    for f in range(F):
+        L[f], R[f] = render_frame_np(scene, f)
+    return L, R

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from slam_tpu.ops import akaze, features, matching
 from tests.test_features_matching import textured_image
@@ -50,6 +51,7 @@ def test_akaze_matches_shifted_image():
     assert np.mean(np.abs(dx + 6) < 2) > 0.7
 
 
+@pytest.mark.slow
 def test_frontend_with_akaze_detector():
     from slam_tpu.config import (
         FeatureConfig, RansacConfig, RuntimeConfig, SlamConfig,

@@ -45,10 +45,11 @@ def test_resume_matches_uninterrupted(seq, tmp_path):
     assert resumed.T_w2c.shape == full.T_w2c.shape
     np.testing.assert_allclose(resumed.xy, full.xy, atol=1e-5)
     np.testing.assert_array_equal(resumed.link_valid, full.link_valid)
-    # trajectories agree (same chunk boundaries -> identical RANSAC keys
-    # except whole-sequence key split order; allow small tolerance)
-    d = np.linalg.norm(resumed.T_w2c[:, :3, 3] - full.T_w2c[:, :3, 3], axis=-1)
-    assert d.max() < 0.1, d.max()
+    # bit-identical trajectories: the RANSAC key stream is position-based
+    # (fold_in(seed, chunk_index)), so resuming mid-sequence replays the
+    # exact keys of an uninterrupted run
+    np.testing.assert_array_equal(resumed.T_w2c, full.T_w2c)
+    np.testing.assert_array_equal(resumed.pose_ok, full.pose_ok)
 
 
 def test_resume_noop_when_complete(seq, tmp_path):

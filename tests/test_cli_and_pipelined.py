@@ -54,6 +54,7 @@ def test_pipelined_frontend_matches_eager(tmp_path):
     assert d.max() < 0.05
 
 
+@pytest.mark.slow
 def test_cli_synthetic_run(tmp_path):
     from slam_tpu.__main__ import main
 
@@ -89,6 +90,7 @@ def test_visualize_track(tmp_path):
     assert (tmp_path / f"track_{t}.png").exists()
 
 
+@pytest.mark.slow
 def test_multi_sequence_runner():
     seqs = {}
     for i, name in enumerate(["a", "b"]):

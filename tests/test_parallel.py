@@ -51,15 +51,19 @@ def test_sharded_ba_matches_single_device(batch_and_calib):
     ref = bundle.optimize_windows(batch, calib, CFG.bundle)
     # sharded
     m = mesh_lib.make_mesh()
-    poses, points, w2, cost, rel_T, rel_cov = sharded_ba.optimize_windows_sharded(
-        batch, calib, m, iters=CFG.bundle.lm_iters
+    poses, points, w2, cost, cost0, rel_T, rel_cov = (
+        sharded_ba.optimize_windows_sharded(
+            batch, calib, m, iters=CFG.bundle.lm_iters
+        )
     )
     assert poses.shape[0] == batch.num_windows
     np.testing.assert_allclose(rel_T, ref.rel_T, atol=5e-4)
     np.testing.assert_allclose(cost, ref.cost, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(cost0, ref.cost0, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(rel_cov, ref.rel_cov, rtol=0.05, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_frontend_matches_single_device():
     """Frame-axis-sharded frontend == single-device frontend (same chunk
     boundaries => identical RANSAC keys => identical outputs)."""

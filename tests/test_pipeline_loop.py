@@ -17,6 +17,8 @@ from slam_tpu.config import (
 from slam_tpu import pipeline
 from slam_tpu.utils import metrics, synthetic
 
+pytestmark = pytest.mark.slow
+
 CFG = SlamConfig(
     features=FeatureConfig(max_kp=512, border=8),
     ransac=RansacConfig(num_hypotheses=192),

@@ -23,6 +23,7 @@ CFG = SlamConfig(
 )
 
 
+@pytest.mark.slow
 def test_pipeline_on_mesh():
     scene = synthetic.make_scene(
         jax.random.PRNGKey(23), num_frames=16, num_landmarks=2000,
