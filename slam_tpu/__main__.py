@@ -92,7 +92,7 @@ def main(argv=None) -> int:
             rep = pipeline.evaluate(res, np.asarray(gt))
             if not args.no_analysis:
                 rep["analysis"] = analysis.run_analysis(
-                    res, np.asarray(gt), out_dir / "graphs"
+                    res, np.asarray(gt), out_dir / "graphs", images_left=L
                 )
         else:
             rep = {"timings_s": res.timings, "db_stats": res.db.stats(),

@@ -291,6 +291,13 @@ class BundleResult:
     n_poses: np.ndarray
     frames: np.ndarray
     track_of_lm: np.ndarray
+    # factor data, kept for the analysis/debug probes (reference keeps the
+    # whole gtsam graph per bundle; analysis.py:214-283 projection errors,
+    # ex5.py:498-593 worst-factor visualization)
+    meas: np.ndarray | None = None      # (B, M, 3) stereo measurements
+    cam_idx: np.ndarray | None = None   # (B, M)
+    lm_idx: np.ndarray | None = None    # (B, M)
+    points0: np.ndarray | None = None   # (B, L, 3) initial landmarks
 
 
 def optimize_windows(
@@ -391,6 +398,40 @@ def _assemble_bundle_result(batch, poses, points, w, cost, cost0, rel_T,
         rel_T=rel_T, rel_cov=rel_cov, T_w2c_keyframes=T_kf,
         keyframes=batch.keyframes, n_poses=batch.n_poses,
         frames=batch.frames, track_of_lm=batch.track_of_lm,
+        meas=batch.meas, cam_idx=batch.cam_idx, lm_idx=batch.lm_idx,
+        points0=batch.points0.copy(),
+    )
+
+
+def save_bundles(res: BundleResult, path) -> None:
+    """Serialize a BundleResult to npz (replaces the reference's pickled
+    bundle list, gtsam_utils.py:265-271 / project.py stage cache)."""
+    np.savez_compressed(
+        str(path),
+        poses=res.poses, points=res.points, w=res.w,
+        cost=res.cost, cost0=res.cost0, num_obs=res.num_obs,
+        rel_T=res.rel_T, rel_cov=res.rel_cov,
+        T_w2c_keyframes=res.T_w2c_keyframes,
+        keyframes=np.asarray(res.keyframes),
+        n_poses=res.n_poses, frames=res.frames,
+        track_of_lm=res.track_of_lm,
+        **{k: getattr(res, k) for k in ("meas", "cam_idx", "lm_idx", "points0")
+           if getattr(res, k) is not None},
+    )
+
+
+def load_bundles(path) -> BundleResult:
+    z = np.load(str(path))
+    opt = {k: z[k] for k in ("meas", "cam_idx", "lm_idx", "points0")
+           if k in z.files}
+    return BundleResult(
+        poses=z["poses"], points=z["points"], w=z["w"],
+        cost=z["cost"], cost0=z["cost0"], num_obs=z["num_obs"],
+        rel_T=z["rel_T"], rel_cov=z["rel_cov"],
+        T_w2c_keyframes=z["T_w2c_keyframes"],
+        keyframes=[int(k) for k in z["keyframes"]],
+        n_poses=z["n_poses"], frames=z["frames"],
+        track_of_lm=z["track_of_lm"], **opt,
     )
 
 

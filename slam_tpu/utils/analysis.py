@@ -1,26 +1,24 @@
 """Analysis / evaluation suite: plots + printed statistics.
 
 Reference surface: final_project/analysis.py (1364 LoC, 25 named plots,
-registry :27-67, driver run_analysis :1277-1362). This module regenerates
-the same evaluation artifacts from the pipeline's SoA results:
+registry :27-67, driver run_analysis :1277-1362). This module emits an
+artifact-for-artifact counterpart of every entry of the reference
+registry (same file names), regenerated from the pipeline's SoA results:
 
-  tracking statistics (ref :70-106)        -> printed + JSON
-  connectivity (ref :109-132)              -> connectivity.png
-  matches per frame (ref :135-152)         -> matches_per_frame.png
-  inlier percent (ref :155-165)            -> inliers_percent.png
-  track length histogram (ref :168-183)    -> track_lengths.png
-  reprojection error vs track length
-    (ref :340-439)                         -> reproj_vs_track_length.png
-  trajectory overlay (ref :451-487)        -> trajectories.png
-  absolute errors per stage (ref :508-670) -> abs_error_<stage>.png
-  rotation errors (ref :490-505)           -> rot_error.png
-  relative consecutive-keyframe error
-    (ref :683-796)                         -> rel_consecutive.png
-  KITTI-style sub-sequence errors
-    (ref :801-920, :961-1075)              -> rel_subseq_<stage>.png
-  uncertainty (log-det cov) vs keyframe
-    (ref :1125-1263)                       -> uncertainty.png
-  loop-closure edges on the trajectory     -> loops.png
+  num_matches            (ref :135-152)   inliers_percent     (ref :155-165)
+  connectivity           (ref :109-132)   histogram           (ref :168-183)
+  trajectory             (ref :451-487)   mean_factor_error   (ref :186-211)
+  median_projection_error              (ref :258-283)
+  median_projection_vs_distance_{PnP,bundle}  (ref :340-439)
+  abs_{PnP,poseGraph,poseGraph_LC}_{locations,angle}  (ref :508-670)
+  rel_error_{norm,angle}_PnP_bundle    (ref :683-796)
+  rel_error_{norm,angle}_bundle        (ref :683-796, bundle-only pair)
+  rel_sub_section_error_{norm,angle}_{PnP,bundle}  (ref :801-920, :961-1075)
+  uncertainty_{location,rotation}      (ref :1125-1263)
+
+plus slam_tpu extras (loops.png, disparity_hist.png) and the reference's
+debug probes: worst-factor visualization (VAN_ex/code/ex5.py:498-593) and
+loop-match visualization (VAN_ex/code/ex7.py:767-827).
 
 All numeric results are also returned as one dict (and written to
 analysis.json) — the regression surface against BASELINE.md.
@@ -35,6 +33,23 @@ import numpy as np
 
 from . import metrics
 
+# the reference's plot registry, analysis.py:27-36 — every name below is
+# emitted (abs_poseGraph_LC_* only when closures exist)
+ARTIFACTS = [
+    "num_matches", "inliers_percent", "connectivity", "histogram",
+    "trajectory", "mean_factor_error", "median_projection_error",
+    "median_projection_vs_distance_PnP",
+    "median_projection_vs_distance_bundle",
+    "abs_PnP_locations", "abs_PnP_angle",
+    "abs_poseGraph_locations", "abs_poseGraph_angle",
+    "abs_poseGraph_LC_locations", "abs_poseGraph_LC_angle",
+    "rel_error_norm_PnP_bundle", "rel_error_angle_PnP_bundle",
+    "rel_error_norm_bundle", "rel_error_angle_bundle",
+    "rel_sub_section_error_norm_PnP", "rel_sub_section_error_angle_PnP",
+    "rel_sub_section_error_norm_bundle", "rel_sub_section_error_angle_bundle",
+    "uncertainty_location", "uncertainty_rotation",
+]
+
 
 def _plt():
     import matplotlib
@@ -47,9 +62,86 @@ def _plt():
 
 def _savefig(plt, out_dir: Path, name: str):
     plt.tight_layout()
-    plt.savefig(out_dir / name, dpi=110)
+    plt.savefig(Path(out_dir) / name, dpi=110)
     plt.close()
 
+
+# ---------------------------------------------------------------------------
+# host-side stereo camera math (analysis never needs the accelerator; eager
+# per-op dispatch over the device tunnel is the scale bottleneck)
+# ---------------------------------------------------------------------------
+
+def _np_project(calib, pc):
+    """(N, 3) camera-frame points -> (N, 3) stereo (uL, uR, v)."""
+    fx, fy, cx, cy, b = [float(v) for v in np.asarray(calib)]
+    z = np.where(np.abs(pc[..., 2]) > 1e-9, pc[..., 2], 1e-9)
+    uL = fx * pc[..., 0] / z + cx
+    uR = fx * (pc[..., 0] - b) / z + cx
+    v = fy * pc[..., 1] / z + cy
+    return np.stack([uL, uR, v], axis=-1)
+
+
+def _np_backproject(calib, links):
+    """(N, 3) stereo (uL, uR, v) -> (N, 3) camera-frame points."""
+    fx, fy, cx, cy, b = [float(v) for v in np.asarray(calib)]
+    disp = np.maximum(links[..., 0] - links[..., 1], 1e-6)
+    z = fx * b / disp
+    x = (links[..., 0] - cx) * z / fx
+    y = (links[..., 2] - cy) * z / fy
+    return np.stack([x, y, z], axis=-1)
+
+
+def _transform(T, X):
+    """Apply (4,4) or (N,4,4) extrinsics to (N,3) points."""
+    return np.einsum("...ij,...j->...i", T[..., :3, :3], X) + T[..., :3, 3]
+
+
+def _rot_angle_deg(D):
+    """Rotation angle of (N,4,4) or (4,4) transform errors, degrees."""
+    tr = np.trace(np.asarray(D)[..., :3, :3], axis1=-2, axis2=-1)
+    return np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# tracking statistics (ref :70-183)
+# ---------------------------------------------------------------------------
+
+def plot_track_stats(out_dir, db):
+    plt = _plt()
+    lengths = db.track_lengths()
+    plt.figure(figsize=(6, 4))
+    plt.hist(lengths, bins=np.arange(2, max(lengths.max() + 2, 3)), log=True)
+    plt.xlabel("track length [frames]")
+    plt.ylabel("count (log)")
+    plt.title("Track length histogram")
+    _savefig(plt, out_dir, "histogram.png")
+
+    conn = db.connectivity()
+    plt.figure(figsize=(8, 3.2))
+    plt.plot(conn)
+    plt.xlabel("frame")
+    plt.ylabel("tracks shared with next frame")
+    plt.title("Connectivity")
+    _savefig(plt, out_dir, "connectivity.png")
+
+    plt.figure(figsize=(8, 3.2))
+    plt.plot(db.link_valid.sum(axis=1))
+    plt.xlabel("frame")
+    plt.ylabel("stereo links")
+    plt.title("Matches per frame")
+    _savefig(plt, out_dir, "num_matches.png")
+
+    plt.figure(figsize=(8, 3.2))
+    plt.plot(db.inliers_percent)
+    plt.xlabel("frame")
+    plt.ylabel("inliers [%]")
+    plt.title("RANSAC inlier percentage")
+    _savefig(plt, out_dir, "inliers_percent.png")
+
+
+# ---------------------------------------------------------------------------
+# trajectories + absolute errors (ref :451-670)
+# ---------------------------------------------------------------------------
 
 def plot_trajectories(out_dir, T_gt, stages: dict[str, np.ndarray]):
     """x-z overlay of every stage vs ground truth (ref :451-487)."""
@@ -65,11 +157,13 @@ def plot_trajectories(out_dir, T_gt, stages: dict[str, np.ndarray]):
     plt.axis("equal")
     plt.legend()
     plt.title("Trajectory overlay")
-    _savefig(plt, out_dir, "trajectories.png")
+    _savefig(plt, out_dir, "trajectory.png")
 
 
 def plot_abs_errors(out_dir, name, T_est, T_gt, x=None):
-    """Per-axis + L2 absolute location error (ref :508-557)."""
+    """Per-axis + L2 absolute location error AND rotation-angle error as
+    the reference's separate artifact pair abs_<stage>_locations /
+    abs_<stage>_angle (ref :508-670)."""
     plt = _plt()
     err = metrics.abs_location_error(T_est, T_gt)
     x = np.arange(err.shape[0]) if x is None else x
@@ -80,131 +174,188 @@ def plot_abs_errors(out_dir, name, T_est, T_gt, x=None):
     plt.ylabel("abs error [m]")
     plt.legend()
     plt.title(f"Absolute location error — {name}")
-    _savefig(plt, out_dir, f"abs_error_{name}.png")
-    return {"mean_l2": float(err[:, 3].mean()), "max_l2": float(err[:, 3].max())}
+    _savefig(plt, out_dir, f"abs_{name}_locations.png")
 
-
-def plot_rot_errors(out_dir, stages: dict[str, tuple], T_gt_full):
-    """Rotation error in degrees per stage (ref :490-505)."""
-    plt = _plt()
+    deg = metrics.rotation_error_deg(T_est, T_gt)
     plt.figure(figsize=(8, 4))
-    out = {}
-    for name, (T, x) in stages.items():
-        gt = T_gt_full[x] if x is not None else T_gt_full
-        e = metrics.rotation_error_deg(T, gt)
-        plt.plot(x if x is not None else np.arange(len(e)), e, label=name)
-        out[name] = float(np.mean(e))
+    plt.plot(x, deg)
     plt.xlabel("frame")
     plt.ylabel("rotation error [deg]")
+    plt.title(f"Absolute rotation error — {name}")
+    _savefig(plt, out_dir, f"abs_{name}_angle.png")
+    return {"mean_l2": float(err[:, 3].mean()),
+            "max_l2": float(err[:, 3].max()),
+            "mean_deg": float(deg.mean())}
+
+
+# ---------------------------------------------------------------------------
+# relative consecutive-keyframe errors (ref :683-796)
+# ---------------------------------------------------------------------------
+
+def plot_rel_error_pairs(out_dir, bundles, T_frontend, T_gt):
+    """Relative-pose error between consecutive keyframes for the PnP
+    (frontend) and bundle estimates, as the reference's four artifacts:
+    rel_error_{norm,angle}_PnP_bundle (both curves) and
+    rel_error_{norm,angle}_bundle (bundle only). Ref :683-796."""
+    plt = _plt()
+    kfs = np.asarray(bundles.keyframes)
+    i0, i1 = kfs[:-1], kfs[1:]
+    gt_rel = T_gt[i1] @ np.linalg.inv(T_gt[i0])
+    pnp_rel = T_frontend[i1] @ np.linalg.inv(T_frontend[i0])
+    D_pnp = pnp_rel @ np.linalg.inv(gt_rel)
+    D_b = bundles.rel_T @ np.linalg.inv(gt_rel)
+    pnp_norm = np.linalg.norm(D_pnp[:, :3, 3], axis=-1)
+    b_norm = np.linalg.norm(D_b[:, :3, 3], axis=-1)
+    pnp_deg = _rot_angle_deg(D_pnp)
+    b_deg = _rot_angle_deg(D_b)
+    x = i1
+
+    plt.figure(figsize=(8, 4))
+    plt.plot(x, pnp_norm, label="PnP norm error [m]")
+    plt.plot(x, b_norm, label="bundle norm error [m]")
+    plt.ylabel("error [m]")
+    plt.xlabel("keyframe")
     plt.legend()
-    plt.title("Rotation error")
-    _savefig(plt, out_dir, "rot_error.png")
-    return out
+    plt.grid(True, axis="y", linestyle="--", alpha=0.7)
+    plt.title("Relative location error of consecutive keyframes, PnP vs bundle")
+    _savefig(plt, out_dir, "rel_error_norm_PnP_bundle.png")
 
-
-def plot_track_stats(out_dir, db):
-    plt = _plt()
-    lengths = db.track_lengths()
-    plt.figure(figsize=(6, 4))
-    plt.hist(lengths, bins=np.arange(2, max(lengths.max() + 2, 3)),
-             log=True)
-    plt.xlabel("track length [frames]")
-    plt.ylabel("count (log)")
-    plt.title("Track length histogram")
-    _savefig(plt, out_dir, "track_lengths.png")
-
-    conn = db.connectivity()
-    plt.figure(figsize=(8, 3.2))
-    plt.plot(conn)
-    plt.xlabel("frame")
-    plt.ylabel("tracks shared with next frame")
-    plt.title("Connectivity")
-    _savefig(plt, out_dir, "connectivity.png")
-
-    plt.figure(figsize=(8, 3.2))
-    plt.plot(db.link_valid.sum(axis=1))
-    plt.xlabel("frame")
-    plt.ylabel("stereo links")
-    plt.title("Matches per frame")
-    _savefig(plt, out_dir, "matches_per_frame.png")
-
-    plt.figure(figsize=(8, 3.2))
-    plt.plot(db.inliers_percent)
-    plt.xlabel("frame")
-    plt.ylabel("inliers [%]")
-    plt.title("RANSAC inlier percentage")
-    _savefig(plt, out_dir, "inliers_percent.png")
-
-
-def plot_rel_consecutive(out_dir, name, T_est_kf, T_gt_kf):
-    """Relative error between consecutive keyframes (ref :683-796)."""
-    plt = _plt()
-    B = T_est_kf.shape[0] - 1
-    terr, rerr = [], []
-    for i in range(B):
-        rel_e = T_est_kf[i + 1] @ np.linalg.inv(T_est_kf[i])
-        rel_g = T_gt_kf[i + 1] @ np.linalg.inv(T_gt_kf[i])
-        d = rel_e @ np.linalg.inv(rel_g)
-        terr.append(np.linalg.norm(d[:3, 3]))
-        tr = np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1)
-        rerr.append(np.degrees(np.arccos(tr)))
-    fig, ax = _plt().subplots(2, 1, figsize=(8, 5), sharex=True)
-    ax[0].plot(terr)
-    ax[0].set_ylabel("trans err [m]")
-    ax[1].plot(rerr)
-    ax[1].set_ylabel("rot err [deg]")
-    ax[1].set_xlabel("keyframe interval")
-    fig.suptitle(f"Consecutive-keyframe relative error — {name}")
-    fig.tight_layout()
-    fig.savefig(out_dir / f"rel_consecutive_{name}.png", dpi=110)
-    _plt().close(fig)
-    return {"mean_trans_m": float(np.mean(terr)),
-            "mean_rot_deg": float(np.mean(rerr))}
-
-
-def plot_rel_subseq(out_dir, name, T_est, T_gt, lengths=(100, 400, 800)):
-    """KITTI-style sub-sequence relative errors (ref :801-920)."""
-    res = metrics.relative_subsequence_error(T_est, T_gt, lengths)
-    if not res:
-        return res
-    plt = _plt()
-    plt.figure(figsize=(6, 4))
-    Ls = sorted(res.keys())
-    plt.plot(Ls, [res[L]["trans_m_per_m_mean"] * 100 for L in Ls], "o-",
-             label="translation [%]")
-    plt.plot(Ls, [res[L]["rot_deg_per_m_mean"] * 100 for L in Ls], "s-",
-             label="rotation [deg/100m]")
-    plt.xlabel("sub-sequence length [frames]")
+    plt.figure(figsize=(8, 4))
+    plt.plot(x, pnp_deg, label="PnP angle error [deg]")
+    plt.plot(x, b_deg, label="bundle angle error [deg]")
+    plt.ylabel("error [deg]")
+    plt.xlabel("keyframe")
     plt.legend()
-    plt.title(f"Relative sub-sequence error — {name}")
-    _savefig(plt, out_dir, f"rel_subseq_{name}.png")
-    return res
+    plt.grid(True, axis="y", linestyle="--", alpha=0.7)
+    plt.title("Relative angle error of consecutive keyframes, PnP vs bundle")
+    _savefig(plt, out_dir, "rel_error_angle_PnP_bundle.png")
 
+    plt.figure(figsize=(8, 4))
+    plt.plot(x, b_norm, color="red", label="bundle norm error [m]")
+    plt.ylabel("error [m]")
+    plt.xlabel("keyframe")
+    plt.legend()
+    plt.grid(True, axis="y", linestyle="--", alpha=0.7)
+    plt.title("Relative location error of consecutive keyframes, bundle")
+    _savefig(plt, out_dir, "rel_error_norm_bundle.png")
+
+    plt.figure(figsize=(8, 4))
+    plt.plot(x, b_deg, color="orange", label="bundle angle error [deg]")
+    plt.ylabel("error [deg]")
+    plt.xlabel("keyframe")
+    plt.legend()
+    plt.grid(True, axis="y", linestyle="--", alpha=0.7)
+    plt.title("Relative angle error of consecutive keyframes, bundle")
+    _savefig(plt, out_dir, "rel_error_angle_bundle.png")
+
+    return {
+        "pnp": {"mean_trans_m": float(pnp_norm.mean()),
+                "mean_rot_deg": float(pnp_deg.mean())},
+        "bundle": {"mean_trans_m": float(b_norm.mean()),
+                   "mean_rot_deg": float(b_deg.mean())},
+    }
+
+
+# ---------------------------------------------------------------------------
+# KITTI-style sub-section errors (ref :801-920, :961-1075)
+# ---------------------------------------------------------------------------
+
+def plot_rel_subsection(out_dir, name, T_est, T_gt, lengths=(100, 400, 800)):
+    """Per-start-frame relative error curves over fixed sub-section
+    lengths, one norm and one angle artifact per stage (ref :801-920 PnP,
+    :961-1075 bundle: a curve per length + overall-mean line)."""
+    curves = metrics.relative_subsequence_curves(T_est, T_gt, lengths)
+    summary = metrics.relative_subsequence_error(T_est, T_gt, lengths)
+    if not curves:
+        return summary
+    plt = _plt()
+    Ls = sorted(curves.keys())
+
+    plt.figure(figsize=(8, 4))
+    for L in Ls:
+        plt.plot(curves[L]["x"], curves[L]["trans_m_per_m"],
+                 label=f"{name} norm err, length {L}")
+    mean_all = float(np.mean([curves[L]["trans_m_per_m"].mean() for L in Ls]))
+    plt.axhline(mean_all, color="black", linestyle="-.",
+                label="mean location error")
+    plt.ylabel("norm error [m/m]")
+    plt.xlabel("start frame")
+    plt.legend()
+    plt.grid(True, axis="y", linestyle="--", alpha=0.7)
+    plt.title(f"Relative location error vs sub-section length — {name}")
+    _savefig(plt, out_dir, f"rel_sub_section_error_norm_{name}.png")
+
+    plt.figure(figsize=(8, 4))
+    for L in Ls:
+        plt.plot(curves[L]["x"], curves[L]["rot_deg_per_m"],
+                 label=f"{name} angle err, length {L}")
+    mean_all = float(np.mean([curves[L]["rot_deg_per_m"].mean() for L in Ls]))
+    plt.axhline(mean_all, color="black", linestyle="-.",
+                label="mean angle error")
+    plt.ylabel("angle error [deg/m]")
+    plt.xlabel("start frame")
+    plt.legend()
+    plt.grid(True, axis="y", linestyle="--", alpha=0.7)
+    plt.title(f"Relative angle error vs sub-section length — {name}")
+    _savefig(plt, out_dir, f"rel_sub_section_error_angle_{name}.png")
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# uncertainty (ref :1125-1263)
+# ---------------------------------------------------------------------------
 
 def plot_uncertainty(out_dir, pg_pre, pg_post=None):
-    """Log-det of location/rotation marginal covariance per keyframe
-    (ref :1125-1263)."""
+    """Log10-determinant of the location / rotation marginal covariance per
+    keyframe, with and without loop closures, as the reference's two
+    artifacts uncertainty_location / uncertainty_rotation (:1125-1263)."""
     plt = _plt()
-    C = pg_pre.covariance_full()
-    N = pg_pre.num_nodes
-    loc = [np.linalg.slogdet(C[i, 3:, i, 3:] + 1e-12 * np.eye(3))[1]
-           for i in range(1, N)]
-    rot = [np.linalg.slogdet(C[i, :3, i, :3] + 1e-12 * np.eye(3))[1]
-           for i in range(1, N)]
-    plt.figure(figsize=(8, 4))
-    plt.plot(loc, label="location (pre-LC)")
-    plt.plot(rot, label="rotation (pre-LC)")
-    if pg_post is not None and pg_post.num_edges > pg_pre.num_edges:
-        C2 = pg_post.covariance_full()
-        loc2 = [np.linalg.slogdet(C2[i, 3:, i, 3:] + 1e-12 * np.eye(3))[1]
-                for i in range(1, N)]
-        plt.plot(loc2, "--", label="location (post-LC)")
-    plt.xlabel("keyframe")
-    plt.ylabel("log-det covariance")
-    plt.legend()
-    plt.title("Pose uncertainty along the trajectory")
-    _savefig(plt, out_dir, "uncertainty.png")
 
+    def logdets(pg):
+        C = pg.covariance_full()
+        N = pg.num_nodes
+        loc = np.array([np.linalg.slogdet(
+            C[i, 3:, i, 3:] + 1e-18 * np.eye(3))[1] for i in range(1, N)])
+        rot = np.array([np.linalg.slogdet(
+            C[i, :3, i, :3] + 1e-18 * np.eye(3))[1] for i in range(1, N)])
+        return loc / np.log(10.0), rot / np.log(10.0)
+
+    loc_pre, rot_pre = logdets(pg_pre)
+    has_post = pg_post is not None and pg_post.num_edges > pg_pre.num_edges
+    if has_post:
+        loc_post, rot_post = logdets(pg_post)
+    x = np.asarray(pg_pre.keyframes[1:])
+
+    plt.figure(figsize=(8, 4))
+    plt.plot(x, loc_pre, color="blue",
+             label="log location uncertainty without loop closures")
+    if has_post:
+        plt.plot(x, loc_post, color="red",
+                 label="log location uncertainty with loop closures")
+    plt.ylabel("log10 det of location covariance")
+    plt.xlabel("frame")
+    plt.legend()
+    plt.title("Location uncertainty, pose graph with/without loop closures")
+    _savefig(plt, out_dir, "uncertainty_location.png")
+
+    plt.figure(figsize=(8, 4))
+    plt.plot(x, rot_pre, color="blue",
+             label="log rotation uncertainty without loop closures")
+    if has_post:
+        plt.plot(x, rot_post, color="red",
+                 label="log rotation uncertainty with loop closures")
+    plt.ylabel("log10 det of rotation covariance")
+    plt.xlabel("frame")
+    plt.legend()
+    plt.title("Rotation uncertainty, pose graph with/without loop closures")
+    _savefig(plt, out_dir, "uncertainty_rotation.png")
+    return {"final_loc_logdet": float(loc_pre[-1]) if len(loc_pre) else 0.0,
+            "final_loc_logdet_lc": float(loc_post[-1]) if has_post else None}
+
+
+# ---------------------------------------------------------------------------
+# loop-closure overlay (slam_tpu extra)
+# ---------------------------------------------------------------------------
 
 def plot_loops(out_dir, pg, T_gt_kf):
     plt = _plt()
@@ -222,6 +373,10 @@ def plot_loops(out_dir, pg, T_gt_kf):
     _savefig(plt, out_dir, "loops.png")
 
 
+# ---------------------------------------------------------------------------
+# factor / projection errors (ref :186-283)
+# ---------------------------------------------------------------------------
+
 def plot_factor_errors(out_dir, bundles):
     """Mean stereo-factor error per window, before vs after optimization
     (reference analysis.py:186-211)."""
@@ -236,9 +391,52 @@ def plot_factor_errors(out_dir, bundles):
     plt.ylabel("mean factor error [px]")
     plt.legend()
     plt.title("Bundle factor error per window")
-    _savefig(plt, out_dir, "factor_errors.png")
+    _savefig(plt, out_dir, "mean_factor_error.png")
     return {"mean_final_px": float(mean_final.mean()),
             "mean_init_px": float(mean_init.mean())}
+
+
+def plot_median_projection_error(out_dir, bundles, calib):
+    """Median left-camera projection error of each window's first-keyframe
+    factors, initial vs optimized landmarks (reference analysis.py:258-283:
+    per bundle, project every first-keyframe factor's landmark through the
+    first-kf stereo camera and take the median |measured - projected|)."""
+    if bundles.meas is None:
+        return {}
+    plt = _plt()
+    B = bundles.poses.shape[0]
+    sel = (bundles.cam_idx == 0) & (bundles.w > 0)
+    bi, ri = np.nonzero(sel)
+    lm = bundles.lm_idx[bi, ri]
+    meas = bundles.meas[bi, ri]  # (n, 3) uL, uR, v
+    # final: optimized landmark through optimized first pose; initial:
+    # initial landmark through the identity initial pose (window frame)
+    proj_f = _np_project(calib, _transform(bundles.poses[bi, 0],
+                                           bundles.points[bi, lm]))
+    proj_i = _np_project(calib, bundles.points0[bi, lm])
+    errf = np.linalg.norm(meas[:, [0, 2]] - proj_f[:, [0, 2]], axis=-1)
+    erri = np.linalg.norm(meas[:, [0, 2]] - proj_i[:, [0, 2]], axis=-1)
+    order = np.argsort(bi, kind="stable")
+    bounds = np.searchsorted(bi[order], np.arange(B + 1))
+    med_i, med_f, x = [], [], []
+    kfs = np.asarray(bundles.keyframes)
+    for b in range(B):
+        a, e = bounds[b], bounds[b + 1]
+        if e > a:
+            med_i.append(float(np.median(erri[order[a:e]])))
+            med_f.append(float(np.median(errf[order[a:e]])))
+            x.append(int(kfs[b]))
+    plt.figure(figsize=(8, 4))
+    plt.plot(x, med_i, label="initial error")
+    plt.plot(x, med_f, label="final error")
+    plt.xlabel("keyframe")
+    plt.ylabel("median projection error [px]")
+    plt.legend()
+    plt.grid(True)
+    plt.title("Median projection error vs first keyframe")
+    _savefig(plt, out_dir, "median_projection_error.png")
+    return {"median_init_px": float(np.median(med_i)) if med_i else 0.0,
+            "median_final_px": float(np.median(med_f)) if med_f else 0.0}
 
 
 def plot_disparity_histogram(out_dir, db):
@@ -255,20 +453,17 @@ def plot_disparity_histogram(out_dir, db):
     _savefig(plt, out_dir, "disparity_hist.png")
 
 
-def plot_reproj_vs_track_length(out_dir, db, T_frames, calib,
+def plot_reproj_vs_track_length(out_dir, name, db, T_frames, calib,
                                 max_tracks: int = 500, seed: int = 0):
     """Median reprojection error as a function of distance from the
-    triangulation frame, per track-length bucket (reference
-    analysis.py:340-439: 500-track stratified sample).
+    triangulation frame over a stratified track sample (reference
+    analysis.py:340-439, emitted per stage as
+    median_projection_vs_distance_{PnP,bundle}).
 
-    Uses the supplied per-frame poses (PnP or BA trajectory): each sampled
-    track is triangulated at its max-disparity frame and reprojected into
-    every frame it appears on.
+    Pure host numpy: each sampled track is triangulated (stereo
+    backprojection) at its max-disparity frame, lifted to world with the
+    supplied per-frame poses, and reprojected into every frame it spans.
     """
-    import jax.numpy as jnp
-
-    from ..ops import se3, stereo
-
     plt = _plt()
     rng = np.random.default_rng(seed)
     lengths = db.track_lengths()
@@ -277,24 +472,20 @@ def plot_reproj_vs_track_length(out_dir, db, T_frames, calib,
         return {}
     sample = rng.choice(ids, size=min(max_tracks, len(ids)), replace=False)
 
-    calib_j = jnp.asarray(calib)
     by_dist: dict[int, list] = {}
+    inv_T = np.linalg.inv(T_frames)
     for t in sample:
         frs, slots = db.track_slots(int(t))
         links = db.links[frs, slots]
         disp = links[:, 0] - links[:, 1]
         k = int(np.argmax(disp))
-        # triangulate at frame k, lift to world
-        pc = np.asarray(stereo.backproject(calib_j, jnp.asarray(links[k])))
-        Tk = T_frames[frs[k]]
-        pw = np.linalg.inv(Tk) @ np.append(pc, 1.0)
+        pc = _np_backproject(calib, links[k])
+        pw = inv_T[frs[k]] @ np.append(pc, 1.0)
+        pred = _np_project(calib, _transform(T_frames[frs], pw[:3][None]
+                                             .repeat(len(frs), 0)))
+        errs = np.linalg.norm(pred - links, axis=-1)
         for i, f in enumerate(frs):
-            pred = np.asarray(stereo.project(
-                calib_j,
-                jnp.asarray((T_frames[f] @ pw)[:3])[None],
-            ))[0]
-            err = float(np.linalg.norm(pred - links[i]))
-            by_dist.setdefault(abs(int(f) - int(frs[k])), []).append(err)
+            by_dist.setdefault(abs(int(f) - int(frs[k])), []).append(errs[i])
 
     dists = sorted(by_dist)
     med = [float(np.median(by_dist[d])) for d in dists]
@@ -302,9 +493,109 @@ def plot_reproj_vs_track_length(out_dir, db, T_frames, calib,
     plt.plot(dists, med, "o-")
     plt.xlabel("frames from triangulation frame")
     plt.ylabel("median reprojection error [px]")
-    plt.title("Reprojection error vs track distance")
-    _savefig(plt, out_dir, "reproj_vs_track_length.png")
+    plt.title(f"Projection error vs distance — {name}")
+    _savefig(plt, out_dir, f"median_projection_vs_distance_{name}.png")
     return {str(d): m for d, m in zip(dists, med)}
+
+
+# ---------------------------------------------------------------------------
+# debug probes (reference ex5.py:498-593 worst factor, ex7.py:767-827 loop
+# match visualization, utils.visualize_track :91-120)
+# ---------------------------------------------------------------------------
+
+def plot_worst_factor(out_dir, bundles, calib, images_left=None, db=None):
+    """Visualize the single worst stereo factor after optimization:
+    measured vs projected track across its window (reference worst-factor
+    probe, VAN_ex/code/ex5.py:498-593). With ``images_left`` the
+    measurement is shown on the image patch."""
+    if bundles.meas is None:
+        return {}
+    plt = _plt()
+    active = bundles.w > 0
+    bi, ri = np.nonzero(active)
+    lm = bundles.lm_idx[bi, ri]
+    ci = bundles.cam_idx[bi, ri]
+    proj = _np_project(calib, _transform(bundles.poses[bi, ci],
+                                         bundles.points[bi, lm]))
+    meas = bundles.meas[bi, ri]
+    err = np.linalg.norm((proj - meas) * bundles.w[bi, ri][:, None], axis=-1)
+    worst = int(np.argmax(err))
+    wb, wl = int(bi[worst]), int(lm[worst])
+    rows = np.nonzero(active[wb] & (bundles.lm_idx[wb] == wl))[0]
+    cams = bundles.cam_idx[wb, rows]
+    m = bundles.meas[wb, rows]
+    p = _np_project(calib, _transform(bundles.poses[wb, cams],
+                                      bundles.points[wb, wl][None]
+                                      .repeat(len(rows), 0)))
+    frames = bundles.frames[wb, cams]
+
+    fig, ax = plt.subplots(1, 2, figsize=(10, 4))
+    ax[0].plot(m[:, 0], m[:, 2], "go-", label="measured (uL, v)")
+    ax[0].plot(p[:, 0], p[:, 2], "rx--", label="projected")
+    ax[0].invert_yaxis()
+    ax[0].set_xlabel("u [px]")
+    ax[0].set_ylabel("v [px]")
+    ax[0].legend()
+    ax[0].set_title(
+        f"worst factor: window {wb}, landmark {wl}, err {err[worst]:.1f}px")
+    ax[1].plot(frames, np.linalg.norm(p[:, [0, 2]] - m[:, [0, 2]], axis=-1),
+               "o-")
+    ax[1].set_xlabel("frame")
+    ax[1].set_ylabel("left-cam error [px]")
+    ax[1].set_title("per-frame projection error of the worst factor")
+    if images_left is not None and len(frames):
+        f0 = int(frames[np.argmax(
+            np.linalg.norm(p[:, [0, 2]] - m[:, [0, 2]], axis=-1))])
+        u, v = m[np.argmax(np.linalg.norm(p[:, [0, 2]] - m[:, [0, 2]],
+                                          axis=-1))][[0, 2]]
+        H, W = images_left.shape[1:3]
+        y0 = int(np.clip(v - 40, 0, H - 80))
+        x0 = int(np.clip(u - 40, 0, W - 80))
+        axin = ax[0].inset_axes([0.65, 0.05, 0.33, 0.45])
+        axin.imshow(images_left[f0, y0:y0 + 80, x0:x0 + 80], cmap="gray")
+        axin.scatter([u - x0], [v - y0], c="r", s=14)
+        axin.axis("off")
+    fig.tight_layout()
+    fig.savefig(Path(out_dir) / "worst_factor.png", dpi=110)
+    plt.close(fig)
+    return {"worst_factor_err_px": float(err[worst]),
+            "window": wb, "landmark": wl}
+
+
+def plot_loop_match(out_dir, result, closure, images_left, max_lines=60):
+    """Side-by-side loop-pair visualization with matched-feature lines
+    (reference loop-match probe, VAN_ex/code/ex7.py:767-827). Matches are
+    recomputed from the stored frontend descriptors of the two keyframes."""
+    import jax.numpy as jnp
+
+    from ..ops import matching
+
+    plt = _plt()
+    fe = result.frontend
+    fi, fj = int(closure.frame_i), int(closure.frame_j)
+    m = matching.mutual_match(
+        jnp.asarray(fe.desc[fi], jnp.float32),
+        jnp.asarray(fe.desc[fj], jnp.float32),
+        jnp.asarray(fe.valid[fi]), jnp.asarray(fe.valid[fj]),
+    )
+    matched = np.asarray(m["matched"])
+    tgt = np.asarray(m["target_idx"])
+    src = np.nonzero(matched)[0][:max_lines]
+    H, W = images_left.shape[1:3]
+    canvas = np.concatenate([images_left[fi], images_left[fj]], axis=0)
+    plt.figure(figsize=(10, 7))
+    plt.imshow(canvas, cmap="gray")
+    for s in src:
+        x0, y0 = fe.xy[fi, s]
+        x1, y1 = fe.xy[fj, tgt[s]]
+        plt.plot([x0, x1], [y0, y1 + H], "-", lw=0.5, color="lime")
+    plt.scatter(fe.xy[fi, src, 0], fe.xy[fi, src, 1], s=4, c="r")
+    plt.scatter(fe.xy[fj, tgt[src], 0], fe.xy[fj, tgt[src], 1] + H, s=4,
+                c="r")
+    plt.axis("off")
+    plt.title(f"loop match {fi} <-> {fj}: {closure.num_inliers} inliers "
+              f"({closure.inlier_frac:.2f})")
+    _savefig(plt, out_dir, f"loop_match_{fi}_{fj}.png")
 
 
 def visualize_track(out_dir, db, images_left, track_id: int,
@@ -335,73 +626,75 @@ def visualize_track(out_dir, db, images_left, track_id: int,
     plt.close(fig)
 
 
-def run_analysis(result, T_gt: np.ndarray, out_dir: str | Path) -> dict:
-    """Produce the full plot set + summary dict (reference run_analysis,
-    analysis.py:1277-1362)."""
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def run_analysis(result, T_gt: np.ndarray, out_dir: str | Path,
+                 images_left: np.ndarray | None = None) -> dict:
+    """Produce the full artifact set + summary dict (reference
+    run_analysis, analysis.py:1277-1362; artifact registry :27-36).
+    With ``images_left`` the image-based debug probes are also emitted."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     db = result.db
     kfs = result.pose_graph.keyframes
     T_gt_kf = T_gt[kfs]
+    T_pnp = result.T_frontend
+    T_bund = result.T_bundled_frames
 
     report: dict = {"db_stats": db.stats()}
 
     plot_track_stats(out_dir, db)
-    stages_frames = {
-        "frontend (PnP)": result.T_frontend,
-        "bundle-adjusted": result.T_bundled_frames,
-    }
-    stages_kf = {
-        "pose graph": result.pose_graph_pre_lc.nodes,
+    stages = {"frontend (PnP)": T_pnp, "bundle-adjusted": T_bund,
+              "pose graph": result.pose_graph_pre_lc.nodes}
+    if result.closures:
+        stages["pose graph + LC"] = result.pose_graph.nodes
+    plot_trajectories(out_dir, T_gt, stages)
+
+    report["abs_error"] = {
+        "PnP": plot_abs_errors(out_dir, "PnP", T_pnp, T_gt),
+        "bundle": plot_abs_errors(out_dir, "bundle", T_bund, T_gt),
+        "poseGraph": plot_abs_errors(
+            out_dir, "poseGraph", result.pose_graph_pre_lc.nodes, T_gt_kf,
+            x=np.asarray(kfs)),
     }
     if result.closures:
-        stages_kf["pose graph + LC"] = result.pose_graph.nodes
+        report["abs_error"]["poseGraph_LC"] = plot_abs_errors(
+            out_dir, "poseGraph_LC", result.pose_graph.nodes, T_gt_kf,
+            x=np.asarray(kfs))
 
-    plot_trajectories(
-        out_dir, T_gt,
-        {**stages_frames,
-         **{k: v for k, v in stages_kf.items()}},
-    )
-
-    report["abs_error"] = {}
-    for name, T in stages_frames.items():
-        key = name.split(" ")[0]
-        report["abs_error"][key] = plot_abs_errors(out_dir, key, T, T_gt)
-    for name, T in stages_kf.items():
-        key = name.replace(" ", "_").replace("+_", "")
-        report["abs_error"][key] = plot_abs_errors(
-            out_dir, key, T, T_gt_kf, x=np.asarray(kfs)
-        )
-
-    report["rot_error_deg"] = plot_rot_errors(
-        out_dir,
-        {"frontend": (result.T_frontend, None),
-         "pose_graph": (result.pose_graph_pre_lc.nodes, np.asarray(kfs))},
-        T_gt,
-    )
-    report["rel_consecutive"] = plot_rel_consecutive(
-        out_dir, "pose_graph", result.pose_graph_pre_lc.nodes, T_gt_kf
-    )
+    report["rel_consecutive"] = plot_rel_error_pairs(
+        out_dir, result.bundles, T_pnp, T_gt)
     report["rel_subseq"] = {
-        "frontend": plot_rel_subseq(out_dir, "frontend", result.T_frontend,
-                                    T_gt),
-        "bundled": plot_rel_subseq(out_dir, "bundled",
-                                   result.T_bundled_frames, T_gt),
+        "PnP": plot_rel_subsection(out_dir, "PnP", T_pnp, T_gt),
+        "bundle": plot_rel_subsection(out_dir, "bundle", T_bund, T_gt),
     }
-    plot_uncertainty(out_dir, result.pose_graph_pre_lc,
-                     result.pose_graph if result.closures else None)
+    report["uncertainty"] = plot_uncertainty(
+        out_dir, result.pose_graph_pre_lc,
+        result.pose_graph if result.closures else None)
     plot_loops(out_dir, result.pose_graph, T_gt_kf)
     plot_disparity_histogram(out_dir, db)
     report["factor_errors"] = plot_factor_errors(out_dir, result.bundles)
     if getattr(result, "calib", None) is not None:
-        report["reproj_vs_dist"] = plot_reproj_vs_track_length(
-            out_dir, db, result.T_bundled_frames, result.calib,
-            max_tracks=200,
-        )
+        calib = result.calib
+        report["median_projection"] = plot_median_projection_error(
+            out_dir, result.bundles, calib)
+        report["reproj_vs_dist"] = {
+            "PnP": plot_reproj_vs_track_length(
+                out_dir, "PnP", db, T_pnp, calib, max_tracks=200),
+            "bundle": plot_reproj_vs_track_length(
+                out_dir, "bundle", db, T_bund, calib, max_tracks=200),
+        }
+        report["worst_factor"] = plot_worst_factor(
+            out_dir, result.bundles, calib, images_left=images_left, db=db)
+        if images_left is not None:
+            for c in result.closures:
+                plot_loop_match(out_dir, result, c, images_left)
 
     report["ate_rmse"] = {
-        "frontend": metrics.ate_rmse(result.T_frontend, T_gt),
-        "bundled": metrics.ate_rmse(result.T_bundled_frames, T_gt),
+        "frontend": metrics.ate_rmse(T_pnp, T_gt),
+        "bundled": metrics.ate_rmse(T_bund, T_gt),
         "pose_graph": metrics.ate_rmse(result.pose_graph_pre_lc.nodes,
                                        T_gt_kf),
     }

@@ -105,6 +105,39 @@ def relative_subsequence_error(
     return out
 
 
+def relative_subsequence_curves(
+    T_est: np.ndarray,
+    T_gt: np.ndarray,
+    lengths: tuple[int, ...] = (100, 400, 800),
+) -> dict:
+    """Per-start-frame relative sub-section error curves (the data behind
+    the reference's rel_sub_section_error_* plots, analysis.py:801-920:
+    one curve per length over all start frames, normalized by GT distance
+    traveled). Vectorized over start frames.
+
+    Returns {L: {"x": starts, "trans_m_per_m": (S,), "rot_deg_per_m": (S,)}}.
+    """
+    F = T_est.shape[0]
+    cum = dist_traveled(T_gt)
+    inv_est = np.linalg.inv(T_est)
+    inv_gt = np.linalg.inv(T_gt)
+    out = {}
+    for L in lengths:
+        if L >= F:
+            continue
+        s = np.arange(F - L)
+        rel_est = T_est[s + L] @ inv_est[s]
+        rel_gt = T_gt[s + L] @ inv_gt[s]
+        err = rel_est @ np.linalg.inv(rel_gt)
+        dist = np.maximum(cum[s + L] - cum[s], 1e-6)
+        t = np.linalg.norm(err[:, :3, 3], axis=-1) / dist
+        tr = np.clip((np.trace(err[:, :3, :3], axis1=1, axis2=2) - 1) / 2,
+                     -1.0, 1.0)
+        r = np.degrees(np.arccos(tr)) / dist
+        out[L] = {"x": s, "trans_m_per_m": t, "rot_deg_per_m": r}
+    return out
+
+
 def dist_traveled(T_w2c: np.ndarray) -> np.ndarray:
     """Cumulative distance traveled along a trajectory, (F,) with 0 first
     (reference gtsam_utils.calculate_dist_traveled :226-239)."""
