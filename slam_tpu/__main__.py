@@ -80,6 +80,22 @@ def main(argv=None) -> int:
         print("[slam_tpu] nothing to run")
         return 1
 
+    if len(sequences) > 1:
+        # KITTI resolutions differ across sequences; pad to one shared
+        # bucket so the whole batch reuses the same compiled kernels
+        from .utils import kitti as kitti_mod
+
+        bucket = kitti_mod.bucket_for(
+            [v[0].shape[1:] for v in sequences.values()]
+        )
+        print(f"[slam_tpu] padding {len(sequences)} sequences to shared "
+              f"bucket {bucket}")
+        sequences = {
+            k: (kitti_mod.pad_to_bucket(L, bucket),
+                kitti_mod.pad_to_bucket(R, bucket), c, g)
+            for k, (L, R, c, g) in sequences.items()
+        }
+
     reports = {}
     for name, (L, R, calib, gt) in sequences.items():
         out_dir = args.out / name

@@ -116,16 +116,25 @@ def run_multi_sequence(
 ) -> dict:
     """Batched multi-sequence run (BASELINE.json config #5: KITTI
     00/02/05/08). ``sequences`` maps name -> (left (F,H,W), right, calib,
-    T_gt or None). All sequences share one set of compiled kernels (the
-    shapes are identical), so compilation amortizes across the batch —
-    unlike the reference, which pays its full startup per sequence.
+    T_gt or None). All sequences share one set of compiled kernels, so
+    compilation amortizes across the batch — unlike the reference, which
+    pays its full startup per sequence. KITTI resolutions differ across
+    sequences (376x1241 vs 370x1226 ...); images are zero-padded
+    bottom/right to one shared bucket (utils.kitti.bucket_for) so every
+    sequence hits the same compiled frontend.
 
     Returns name -> evaluation report (and caches artifacts per sequence).
     """
     from .. import pipeline as pipeline_mod
+    from ..utils import kitti as kitti_mod
 
+    bucket = kitti_mod.bucket_for(
+        [v[0].shape[1:] for v in sequences.values()]
+    )
     reports = {}
     for name, (L, R, calib, T_gt) in sequences.items():
+        L = kitti_mod.pad_to_bucket(L, bucket)
+        R = kitti_mod.pad_to_bucket(R, bucket)
         cache = Path(cache_root) / name if cache_root else None
         res = pipeline_mod.run_pipeline(
             L, R, calib, cfg, cache_dir=cache,

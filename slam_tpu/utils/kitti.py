@@ -52,16 +52,38 @@ def num_frames(paths: KittiPaths) -> int:
     return len(sorted(paths.left_dir.glob("*.png")))
 
 
+def _parse_projection_lines(text: str) -> dict[str, np.ndarray]:
+    """Parse the `P0: <12 floats>` lines of a KITTI calib.txt.
+
+    Real odometry calib files carry four cameras (P0/P1 grayscale,
+    P2/P3 color) and, in the raw-synced variants, a trailing `Tr:`
+    velodyne line — tolerate both, key by label."""
+    out = {}
+    for line in text.strip().splitlines():
+        if ":" not in line:
+            continue
+        label, vals = line.split(":", 1)
+        arr = np.fromstring(vals, sep=" ")
+        if arr.size == 12:
+            out[label.strip()] = arr.reshape(3, 4)
+    return out
+
+
 def read_calibration(paths: KittiPaths):
     """Parse calib.txt -> (K 3x3, M1 3x4, M2 3x4, baseline).
 
     KITTI stores P0/P1 = K @ [R|t]; K is shared, and the right camera's
     translation encodes the baseline: P1[0,3] = -fx * b
-    (reference read_cameras, Inputs.py:22-37).
+    (reference read_cameras, Inputs.py:22-37). Handles the real on-disk
+    format: P0..P3 + optional Tr line, scientific-notation floats.
     """
-    lines = paths.calib_file.read_text().strip().splitlines()
-    P0 = np.fromstring(lines[0].split(":", 1)[1], sep=" ").reshape(3, 4)
-    P1 = np.fromstring(lines[1].split(":", 1)[1], sep=" ").reshape(3, 4)
+    mats = _parse_projection_lines(paths.calib_file.read_text())
+    if "P0" not in mats or "P1" not in mats:
+        raise ValueError(
+            f"{paths.calib_file}: expected P0/P1 projection lines, "
+            f"found {sorted(mats)}"
+        )
+    P0, P1 = mats["P0"], mats["P1"]
     K = P0[:, :3]
     Kinv = np.linalg.inv(K)
     M1 = np.hstack([np.eye(3), (Kinv @ P0[:, 3])[:, None]])
@@ -130,14 +152,57 @@ def read_batch(
     return np.stack(ls), np.stack(rs)
 
 
+def bucket_for(shapes, multiple: int = 8) -> tuple[int, int]:
+    """Shared padded shape for a set of (H, W) image shapes.
+
+    KITTI sequences differ in resolution (00-02: 376x1241, 03: 375x1242,
+    04-12: 370x1226); under jit each distinct shape costs a full
+    recompilation of the frontend kernels. One bucket = one compilation
+    for the whole multi-sequence batch (reference loads each sequence
+    at native size, Inputs.py:8-19, and pays nothing because cv2 is
+    eager — XLA is not)."""
+    hs = [s[0] for s in shapes]
+    ws = [s[1] for s in shapes]
+    rup = lambda v: ((v + multiple - 1) // multiple) * multiple
+    return rup(max(hs)), rup(max(ws))
+
+
+def pad_to_bucket(images: np.ndarray, bucket_hw: tuple[int, int]) -> np.ndarray:
+    """Zero-pad (F, H, W) images bottom/right to the bucket shape.
+
+    Bottom/right padding keeps pixel coordinates and the calibration
+    (cx, cy anchored at the top-left origin) valid; the zero region is
+    flat, so the Harris/AKAZE detectors produce no keypoints there and
+    the geometry is untouched.
+    """
+    F, H, W = images.shape
+    BH, BW = bucket_hw
+    if (H, W) == (BH, BW):
+        return images
+    if H > BH or W > BW:
+        raise ValueError(f"images {(H, W)} exceed bucket {bucket_hw}")
+    out = np.zeros((F, BH, BW), images.dtype)
+    out[:, :H, :W] = images
+    return out
+
+
 def load_sequence(
-    paths: KittiPaths, limit: int | None = None
+    paths: KittiPaths,
+    limit: int | None = None,
+    bucket_hw: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
-    """(left (F,H,W), right, calib_vector, T_gt or None)."""
+    """(left (F,H,W), right, calib_vector, T_gt or None).
+
+    With ``bucket_hw`` the images are zero-padded bottom/right to the
+    bucket shape so differently-sized sequences share compiled kernels
+    (see bucket_for)."""
     F = num_frames(paths)
     if limit is not None:
         F = min(F, limit)
     L, R = read_batch(paths, 0, F)
+    if bucket_hw is not None:
+        L = pad_to_bucket(L, bucket_hw)
+        R = pad_to_bucket(R, bucket_hw)
     calib = calib_vector(paths)
     gt = None
     if paths.poses_file.is_file():
