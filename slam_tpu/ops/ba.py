@@ -89,20 +89,15 @@ def _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc):
 # one damped normal-equations solve (Schur complement)
 # ---------------------------------------------------------------------------
 
-def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam):
-    """Solve the damped normal equations by landmark marginalization.
-
-    Returns (delta_poses (P, 6), delta_points (L, 3)). Pose 0 is frozen.
-    """
+def _build_blocks_scatter(J_pose, J_lm, r, cam_idx, lm_idx, P, L):
+    """Gradient/Hessian blocks via XLA scatter-add (.at[].add)."""
     dtype = J_pose.dtype
-    # gradient blocks
     g_p = jnp.zeros((P, 6), dtype).at[cam_idx].add(
         jnp.einsum("mij,mi->mj", J_pose, r)
     )
     g_l = jnp.zeros((L, 3), dtype).at[lm_idx].add(
         jnp.einsum("mij,mi->mj", J_lm, r)
     )
-    # Hessian blocks
     Hpp = jnp.zeros((P, 6, 6), dtype).at[cam_idx].add(
         jnp.einsum("mia,mib->mab", J_pose, J_pose)
     )
@@ -114,21 +109,89 @@ def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam):
     Wc = jnp.zeros((L, P, 6, 3), dtype).at[lm_idx, cam_idx].add(
         jnp.einsum("mia,mib->mab", J_pose, J_lm)
     )
+    return g_p, g_l, Hpp, Hll, Wc
+
+
+def _build_blocks_onehot(J_pose, J_lm, r, oc, ol, P, L):
+    """Gradient/Hessian blocks as ONE-HOT MATMUL contractions.
+
+    TPU scatter-add serializes one row per update — at M=4096 obs x 40 LM
+    iterations x B windows it dominates the solve. The same reductions are
+    matmuls against the (M, P) / (M, L) index one-hots, which run on the
+    MXU: Hpp = oc^T @ (Jp (x) Jp), Hll = ol^T @ (Jl (x) Jl), and the
+    cross block via an (M, P, 18) masked outer product contracted with
+    ol^T (a (L, M) @ (M, P*18) matmul). The one-hots are built once per
+    solve (indices are static across LM iterations).
+    """
+    g_p = oc.T @ jnp.einsum("mij,mi->mj", J_pose, r)               # (P, 6)
+    g_l = ol.T @ jnp.einsum("mij,mi->mj", J_lm, r)                 # (L, 3)
+    opp = jnp.einsum("mia,mib->mab", J_pose, J_pose).reshape(-1, 36)
+    Hpp = (oc.T @ opp).reshape(P, 6, 6)
+    oll = jnp.einsum("mia,mib->mab", J_lm, J_lm).reshape(-1, 9)
+    Hll = (ol.T @ oll).reshape(L, 3, 3)
+    opl = jnp.einsum("mia,mib->mab", J_pose, J_lm).reshape(-1, 18)  # (M, 18)
+    z = oc[:, :, None] * opl[:, None, :]                            # (M, P, 18)
+    Wc = (ol.T @ z.reshape(-1, P * 18)).reshape(L, P, 6, 3)
+    return g_p, g_l, Hpp, Hll, Wc
+
+
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate/det) — avoids the general
+    LU path for the (L,) landmark blocks."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([co00, co01, co02], -1),
+        jnp.stack([co10, co11, co12], -1),
+        jnp.stack([co20, co21, co22], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
+def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
+                 onehots=None):
+    """Solve the damped normal equations by landmark marginalization.
+
+    Returns (delta_poses (P, 6), delta_points (L, 3)). Pose 0 is frozen.
+    With ``onehots`` = (oc (M, P), ol (M, L)) the blocks are built by MXU
+    matmul contraction instead of scatter-add (see _build_blocks_onehot).
+    """
+    dtype = J_pose.dtype
+    if onehots is not None:
+        g_p, g_l, Hpp, Hll, Wc = _build_blocks_onehot(
+            J_pose, J_lm, r, onehots[0], onehots[1], P, L)
+    else:
+        g_p, g_l, Hpp, Hll, Wc = _build_blocks_scatter(
+            J_pose, J_lm, r, cam_idx, lm_idx, P, L)
 
     # damp
     eyeP = jnp.eye(6, dtype=dtype)
     eyeL = jnp.eye(3, dtype=dtype)
     Hpp_d = Hpp + lam * eyeP[None]
     Hll_d = Hll + lam * eyeL[None] + 1e-8 * eyeL[None]
-    Hll_inv = jnp.linalg.inv(Hll_d)  # (L, 3, 3) tiny batched inverses
+    Hll_inv = _inv3x3(Hll_d)  # (L, 3, 3) closed-form batched inverses
 
-    # reduced (Schur) system on poses
+    # reduced (Schur) system on poses — flat MXU matmuls over (L*3)
     WHinv = jnp.einsum("lpab,lbc->lpac", Wc, Hll_inv)       # (L, P, 6, 3)
-    U = jnp.einsum("lpac,lqbc->paqb", WHinv, Wc)            # (P,6,P,6)
+    A = jnp.transpose(WHinv, (1, 2, 0, 3)).reshape(P * 6, L * 3)
+    Bm = jnp.transpose(Wc, (1, 2, 0, 3)).reshape(P * 6, L * 3)
+    U = (A @ Bm.T).reshape(P, 6, P, 6)
     S = -U
     diag = jnp.arange(P)
     S = S.at[diag, :, diag, :].add(Hpp_d)
-    ghat = g_p - jnp.einsum("lpac,lc->pa", WHinv, g_l)      # (P, 6)
+    ghat = g_p - (A @ g_l.reshape(L * 3)).reshape(P, 6)
 
     # freeze pose 0 (gauge): identity row/col, zero gradient
     S = S.reshape(P * 6, P * 6)
@@ -136,10 +199,14 @@ def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam):
     S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
     ghat = ghat.reshape(P * 6) * mask
 
-    dp = -jnp.linalg.solve(S, ghat).reshape(P, 6)
+    # S is symmetric positive definite (damped GN + identity gauge rows):
+    # Cholesky is the fast TPU path (LM's accept/reject absorbs any f32
+    # breakdown — a NaN step is simply rejected)
+    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    dp = -jax.scipy.linalg.cho_solve(chol, ghat).reshape(P, 6)
 
     # back-substitute landmarks: dl = -Hll^-1 (g_l + W^T dp)
-    Wt_dp = jnp.einsum("lpab,pa->lb", Wc, dp)               # (L, 3)
+    Wt_dp = (Bm.T @ dp.reshape(P * 6)).reshape(L, 3)
     dl = -jnp.einsum("lab,lb->la", Hll_inv, g_l + Wt_dp)
     return dp, dl
 
@@ -161,7 +228,7 @@ def _huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
     return s
 
 
-@partial(jax.jit, static_argnames=("iters", "huber_delta"))
+@partial(jax.jit, static_argnames=("iters", "huber_delta", "engine"))
 @full_precision
 def optimize_bundle(
     poses: jnp.ndarray,
@@ -174,6 +241,7 @@ def optimize_bundle(
     iters: int = 20,
     lam0: float = 1e-4,
     huber_delta: float = 0.0,
+    engine: str = "onehot",
 ):
     """Levenberg-Marquardt on one window. Static iteration count with
     accept/reject damping (classic LM schedule: accept -> lam/3, reject ->
@@ -184,9 +252,22 @@ def optimize_bundle(
     pure Gaussian factors, useful when track outliers survive the RANSAC
     gates.
 
+    ``engine``: "onehot" builds the Schur blocks by MXU matmul contraction
+    against index one-hots (TPU fast path — scatter-add serializes on
+    TPU); "scatter" is the XLA scatter-add path (lower memory, the better
+    choice on CPU).
+
     Returns (poses, points, final_cost, lam).
     """
     P, L = poses.shape[0], points.shape[0]
+    M = cam_idx.shape[0]
+    onehots = None
+    if engine == "onehot":
+        dt = poses.dtype
+        onehots = (
+            (cam_idx[:, None] == jnp.arange(P, dtype=cam_idx.dtype)).astype(dt),
+            (lm_idx[:, None] == jnp.arange(L, dtype=lm_idx.dtype)).astype(dt),
+        )
 
     def step(carry, _):
         poses, points, lam, cost = carry
@@ -199,7 +280,8 @@ def optimize_bundle(
             w_eff = w
         J_pose, J_lm = _jacobians(poses, points, cam_idx, lm_idx, w_eff,
                                   calib, Xc)
-        dp, dl = _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam)
+        dp, dl = _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
+                              onehots=onehots)
         new_poses = jax.vmap(se3.retract)(poses, dp)
         new_points = points + dl
         new_cost = _cost(new_poses, new_points, cam_idx, lm_idx, meas, w, calib)
@@ -237,13 +319,14 @@ def prune_depth_weights(
     return jnp.where(bad_lm[lm_idx], 0.0, w)
 
 
-@partial(jax.jit, static_argnames=("iters", "prune_rounds", "huber_delta"))
+@partial(jax.jit, static_argnames=("iters", "prune_rounds", "huber_delta",
+                                   "engine"))
 @full_precision
 def optimize_bundle_pruned(
     poses, points, cam_idx, lm_idx, meas, w, calib,
     iters: int = 20, prune_rounds: int = 2,
     min_depth: float = 0.1, max_depth: float = 1000.0,
-    huber_delta: float = 0.0,
+    huber_delta: float = 0.0, engine: str = "onehot",
 ):
     """LM with interleaved depth pruning (reference optimize_graph loop,
     bundle.py:199-211: optimize, drop z<0/z>1000 landmarks, re-optimize)."""
@@ -252,7 +335,7 @@ def optimize_bundle_pruned(
                                 min_depth, max_depth)
         poses, points, cost, _ = optimize_bundle(
             poses, points, cam_idx, lm_idx, meas, w, calib, iters=iters,
-            huber_delta=huber_delta,
+            huber_delta=huber_delta, engine=engine,
         )
     w = prune_depth_weights(poses, points, cam_idx, lm_idx, w,
                             min_depth, max_depth)
@@ -281,19 +364,15 @@ def pose_covariances(poses, points, cam_idx, lm_idx, meas, w, calib):
     J_pose, J_lm = _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc)
     dtype = J_pose.dtype
 
-    Hpp = jnp.zeros((P, 6, 6), dtype).at[cam_idx].add(
-        jnp.einsum("mia,mib->mab", J_pose, J_pose)
-    )
-    Hll = jnp.zeros((L, 3, 3), dtype).at[lm_idx].add(
-        jnp.einsum("mia,mib->mab", J_lm, J_lm)
-    )
-    Wc = jnp.zeros((L, P, 6, 3), dtype).at[lm_idx, cam_idx].add(
-        jnp.einsum("mia,mib->mab", J_pose, J_lm)
-    )
+    oc = (cam_idx[:, None] == jnp.arange(P, dtype=cam_idx.dtype)).astype(dtype)
+    ol = (lm_idx[:, None] == jnp.arange(L, dtype=lm_idx.dtype)).astype(dtype)
+    _, _, Hpp, Hll, Wc = _build_blocks_onehot(J_pose, J_lm, r, oc, ol, P, L)
     eyeL = jnp.eye(3, dtype=dtype)
-    Hll_inv = jnp.linalg.inv(Hll + 1e-6 * eyeL[None])
+    Hll_inv = _inv3x3(Hll + 1e-6 * eyeL[None])
     WHinv = jnp.einsum("lpab,lbc->lpac", Wc, Hll_inv)
-    U = jnp.einsum("lpac,lqbc->paqb", WHinv, Wc)
+    A = jnp.transpose(WHinv, (1, 2, 0, 3)).reshape(P * 6, L * 3)
+    Bm = jnp.transpose(Wc, (1, 2, 0, 3)).reshape(P * 6, L * 3)
+    U = (A @ Bm.T).reshape(P, 6, P, 6)
     S = -U
     diag = jnp.arange(P)
     S = S.at[diag, :, diag, :].add(Hpp)
