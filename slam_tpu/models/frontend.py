@@ -279,33 +279,58 @@ _CKPT_KEYS = (
 )
 
 
-def _save_checkpoint(path, outs, T_w2c_all, carry, T_carry, next_start):
+def _seg_path(path, k: int) -> Path:
+    p = Path(path)
+    return p.with_name(p.stem + f".seg{k:04d}" + p.suffix)
+
+
+def _save_checkpoint(path, seg_outs, seg_T_w2c, carry, T_carry, next_start,
+                     seg_idx: int):
     """Incremental frontend checkpoint (reference ex4_v2.py:696-776:
-    per-500-frame serialization + resume-from-middle)."""
+    per-500-frame serialization + resume-from-middle).
+
+    Each completed segment is its own ``<path>.segNNNN.npz`` holding only
+    the frames since the previous checkpoint, so checkpoint cost is
+    O(segment), not O(history) — re-compressing the whole accumulated
+    state took ~3 min per checkpoint by frame 1120 of a 3360-frame run.
+    The meta file at ``path`` (carry + segment count) is written LAST so a
+    crash mid-segment-write leaves the previous checkpoint intact.
+    """
     blob = {}
-    for k in _CKPT_KEYS:
-        blob[k] = np.concatenate([o[k] for o in outs], axis=0)
-    blob["T_chain"] = np.concatenate([o["T_chain"] for o in outs], axis=0)
-    blob["T_w2c"] = np.concatenate(T_w2c_all, axis=0)
+    for k in _CKPT_KEYS + ("T_chain",):
+        blob[k] = np.concatenate([o[k] for o in seg_outs], axis=0)
+    blob["T_w2c"] = np.concatenate(seg_T_w2c, axis=0)
+    np.savez_compressed(str(_seg_path(path, seg_idx)), **blob)
+    meta = {
+        "T_carry": T_carry,
+        "next_start": np.int64(next_start),
+        "num_segments": np.int64(seg_idx + 1),
+    }
     for k, v in (carry or {}).items():
-        blob[f"carry_{k}"] = np.asarray(v)
-    blob["T_carry"] = T_carry
-    blob["next_start"] = np.int64(next_start)
-    np.savez_compressed(str(path), **blob)
+        meta[f"carry_{k}"] = np.asarray(v)
+    np.savez_compressed(str(path), **meta)
 
 
 def load_frontend_checkpoint(path):
-    """Returns (outs-as-single-dict, T_w2c list, carry, T_carry, start)."""
+    """Returns (outs list, T_w2c list, carry, T_carry, start)."""
     z = np.load(str(path))
-    out = {k: z[k] for k in _CKPT_KEYS}
-    out["T_chain"] = z["T_chain"]
     carry_keys = [k for k in z.files if k.startswith("carry_")]
     carry = None
     if carry_keys:
         import jax.numpy as _jnp
 
         carry = {k[len("carry_"):]: _jnp.asarray(z[k]) for k in carry_keys}
-    return out, [z["T_w2c"]], carry, z["T_carry"], int(z["next_start"])
+    if "num_segments" in z.files:  # per-segment layout
+        outs, T_list = [], []
+        for k in range(int(z["num_segments"])):
+            s = np.load(str(_seg_path(path, k)))
+            outs.append({key: s[key] for key in _CKPT_KEYS + ("T_chain",)})
+            T_list.append(s["T_w2c"])
+        return outs, T_list, carry, z["T_carry"], int(z["next_start"])
+    # legacy monolithic checkpoint
+    out = {k: z[k] for k in _CKPT_KEYS}
+    out["T_chain"] = z["T_chain"]
+    return [out], [z["T_w2c"]], carry, z["T_carry"], int(z["next_start"])
 
 
 def run_frontend(
@@ -350,15 +375,18 @@ def run_frontend(
     T_carry = np.eye(4, dtype=np.float32)
     T_w2c_all = []
     first_start = 0
+    seg_idx = 0
     if resume and checkpoint_path and Path(checkpoint_path).exists():
-        ck, T_w2c_all, carry, T_carry, first_start = load_frontend_checkpoint(
-            checkpoint_path
+        outs, T_w2c_all, carry, T_carry, first_start = (
+            load_frontend_checkpoint(checkpoint_path)
         )
-        outs = [ck]
+        seg_idx = len(outs)
     starts = list(range(first_start, F, chunk))
     if not starts:  # checkpoint already covers the whole sequence
         return _assemble_result(outs, T_w2c_all)
     last_ckpt = first_start
+    seg_outs: list = []
+    seg_T: list = []
     # software-pipelined transfers: ship chunk s+1 while s computes
     next_blocks = host_chunk(starts[0])
     next_dev = (jax.device_put(next_blocks[0]), jax.device_put(next_blocks[1]))
@@ -379,15 +407,20 @@ def run_frontend(
         T_carry = T_w2c[-1]
         T_w2c_all.append(T_w2c)
         outs.append(out)
+        seg_outs.append(out)
+        seg_T.append(T_w2c)
 
         done = start + n
         if checkpoint_path and done - last_ckpt >= checkpoint_every:
-            _save_checkpoint(checkpoint_path, outs, T_w2c_all, carry,
-                             T_carry, done)
+            _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry,
+                             T_carry, done, seg_idx)
             last_ckpt = done
+            seg_idx += 1
+            seg_outs, seg_T = [], []
 
-    if checkpoint_path:
-        _save_checkpoint(checkpoint_path, outs, T_w2c_all, carry, T_carry, F)
+    if checkpoint_path and seg_outs:
+        _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry, T_carry, F,
+                         seg_idx)
     return _assemble_result(outs, T_w2c_all)
 
 

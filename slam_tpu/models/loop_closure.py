@@ -194,16 +194,13 @@ def find_loops(
     key = jax.random.PRNGKey(cfg.seed + 1)
 
     def all_pairs_gate():
-        """(N, N) Mahalanobis matrix in ONE batched call (recomputed only
-        after an accepted closure changes the posterior)."""
-        C = pg.covariance_full()
-        nodes = jnp.asarray(pg.nodes)
+        """(N, N) Mahalanobis matrix in ONE fused device call (posterior
+        inverse + batched sweep; recomputed only after an accepted closure
+        changes the posterior). Only the distances cross the host link."""
         ii, jj = np.tril_indices(N, k=-1)  # j < i pairs
-        d = pg_ops.mahalanobis_batched(
-            jnp.asarray(C), nodes, jnp.asarray(jj), jnp.asarray(ii)
-        )
+        d = pg.gate_distances(jj, ii)
         D = np.full((N, N), np.inf, np.float32)
-        D[ii, jj] = np.asarray(d)
+        D[ii, jj] = d
         return D
 
     D = all_pairs_gate()

@@ -123,6 +123,19 @@ class PoseGraph:
             )
         )
 
+    def gate_distances(self, pair_i: np.ndarray, pair_j: np.ndarray) -> np.ndarray:
+        """Mahalanobis gating distances for candidate pairs, computed in one
+        fused device call (posterior inverse + batched quadratic forms); only
+        the (P,) distances cross the host link, never the (6N, 6N) covariance."""
+        e_i, e_j, Z, si, valid = self._padded_edges()
+        return np.asarray(
+            pg_ops.gate_matrix(
+                jnp.asarray(self.nodes), jnp.asarray(e_i), jnp.asarray(e_j),
+                jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid),
+                jnp.asarray(pair_i), jnp.asarray(pair_j),
+            )
+        )
+
     def marginal(self, i: int, C: np.ndarray | None = None) -> np.ndarray:
         C = self.covariance_full() if C is None else C
         return C[i, :, i, :]

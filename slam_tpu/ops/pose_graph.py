@@ -106,8 +106,16 @@ def optimize(
         )
         H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
         g = g * mask
-        H = H + lam * jnp.eye(6 * N, dtype=dtype)
-        d = -jnp.linalg.solve(H, g).reshape(N, 6)
+        # Jacobi preconditioning: the raw diagonal spans ~1 (gauge) to
+        # ~1e7 (whitened odometry blocks), which makes the f32 dense solve
+        # produce garbage steps at a few hundred nodes (observed at N=651:
+        # every LM step rejected, loop closures silently ignored). Scaling
+        # to unit diagonal bounds the condition number by the graph
+        # structure alone, and makes lam a *relative* (Marquardt) damping.
+        dscale = jax.lax.rsqrt(jnp.maximum(jnp.diag(H), 1e-12))
+        Hs = H * dscale[:, None] * dscale[None, :]
+        Hs = Hs + lam * jnp.eye(6 * N, dtype=dtype)
+        d = -(dscale * jnp.linalg.solve(Hs, dscale * g)).reshape(N, 6)
         return jax.vmap(se3.retract)(nodes, d)
 
     def step(carry, _):
@@ -128,14 +136,9 @@ def optimize(
     return nodes, cost
 
 
-@jax.jit
-@full_precision
-def gn_hessian_inverse(nodes, e_i, e_j, Z, sqrt_info, e_valid):
-    """Full (6N, 6N) covariance = inverse Gauss-Newton Hessian at ``nodes``
-    with node 0 gauge-fixed. One dense inverse serves *all* marginal /
-    joint covariance queries of loop closure — replacing the reference's
-    per-pair Dijkstra + covariance-chain machinery with a single
-    linear-algebra object (SURVEY.md §7 build plan item 8)."""
+def _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid):
+    """Trace-time body shared by :func:`gn_hessian_inverse` (returns the
+    full covariance) and :func:`gate_matrix` (consumes it on device)."""
     N = nodes.shape[0]
     Z_inv = jax.vmap(se3.inverse)(Z)
     wE = e_valid.astype(nodes.dtype)
@@ -151,12 +154,46 @@ def gn_hessian_inverse(nodes, e_i, e_j, Z, sqrt_info, e_valid):
     H = H.reshape(6 * N, 6 * N)
     mask = jnp.concatenate([jnp.zeros(6, dtype), jnp.ones(6 * (N - 1), dtype)])
     H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
-    H = H + 1e-8 * jnp.eye(6 * N, dtype=dtype)
-    C = jnp.linalg.inv(H)
+    # Jacobi-preconditioned inverse: C = S (S H S)^-1 S with S=diag(H)^-1/2.
+    # Without the scaling the f32 inverse of the (6N, 6N) matrix is garbage
+    # beyond a few hundred nodes (diagonal spans 7 orders of magnitude);
+    # at N=651 it produced non-PSD covariances (Mahalanobis d^2 < 0 pairs
+    # read as distance 0 and sailed through the loop gate) and NaN logdets.
+    dscale = jax.lax.rsqrt(jnp.maximum(jnp.diag(H), 1e-12))
+    Hs = H * dscale[:, None] * dscale[None, :]
+    Hs = Hs + 1e-6 * jnp.eye(6 * N, dtype=dtype)
+    Cs = jnp.linalg.inv(Hs)
+    C = Cs * dscale[:, None] * dscale[None, :]
     C = 0.5 * (C + C.T)
     # zero the gauge block (its diagonal placeholder would read as cov 1.0)
     C = C * mask[:, None] * mask[None, :]
     return C.reshape(N, 6, N, 6)
+
+
+@jax.jit
+@full_precision
+def gn_hessian_inverse(nodes, e_i, e_j, Z, sqrt_info, e_valid):
+    """Full (6N, 6N) covariance = inverse Gauss-Newton Hessian at ``nodes``
+    with node 0 gauge-fixed. One dense inverse serves *all* marginal /
+    joint covariance queries of loop closure — replacing the reference's
+    per-pair Dijkstra + covariance-chain machinery with a single
+    linear-algebra object (SURVEY.md §7 build plan item 8)."""
+    return _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid)
+
+
+@jax.jit
+@full_precision
+def gate_matrix(nodes, e_i, e_j, Z, sqrt_info, e_valid, pair_i, pair_j):
+    """Fused posterior refresh + Mahalanobis sweep: inverts the pose-graph
+    Hessian and prices every (pair_i, pair_j) candidate pair WITHOUT the
+    covariance ever leaving the device. Returns (P,) distances.
+
+    The unfused path (covariance_full -> host -> mahalanobis_batched)
+    moves the (6N, 6N) covariance across the host link twice per posterior
+    refresh — ~120 MB at N=651 — for a result that is only ~N^2 floats.
+    """
+    C = _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid)
+    return mahalanobis_batched(C, nodes, pair_i, pair_j)
 
 
 def relative_covariance(C, i, j):
@@ -204,7 +241,12 @@ def mahalanobis_distance(C, nodes, i, j):
     A = adjoint(Xi)
     cov_D = A @ Sd @ A.T + 1e-9 * jnp.eye(6, dtype=C.dtype)
     d2 = D @ jnp.linalg.solve(cov_D, D)
-    return jnp.sqrt(jnp.maximum(d2, 0.0))
+    # fail CLOSED: a non-finite or negative quadratic form means the
+    # posterior covariance block is numerically broken (non-PSD) — treat
+    # the pair as infinitely far rather than distance 0, otherwise garbage
+    # pairs pass the loop gate (observed at N=651 before preconditioning).
+    bad = ~jnp.isfinite(d2) | (d2 < 0.0)
+    return jnp.where(bad, jnp.inf, jnp.sqrt(jnp.maximum(d2, 0.0)))
 
 
 # batched over many (i, j) pairs — the loop-closure gating sweep

@@ -26,6 +26,11 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+# Taylor-branch threshold on theta^2 for the sinc-family coefficients.
+# Sized for float32: below theta ~ 0.032 rad the 2-term series is exact to
+# single precision, while the closed forms ((theta - sin)/theta^3,
+# (1 - a/2b)/theta^2) suffer catastrophic cancellation well before that.
+_SMALL_THETA2 = 1e-3
 
 
 # ---------------------------------------------------------------------------
@@ -61,10 +66,16 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
-    # sin(t)/t and (1-cos(t))/t^2 with Taylor fallbacks
-    small = theta2 < 1e-10
+    # sin(t)/t and (1-cos(t))/t^2. (1-cos) is computed as 2 sin^2(t/2) —
+    # in float32 cos(t) rounds to exactly 1.0 for t < ~3.5e-4, which made
+    # the naive form produce b=0 (and inf/NaN downstream in se3_log) for
+    # the tiny-rotation edges a bundle-refined pose graph is full of. The
+    # Taylor branch threshold is sized for f32: below theta=0.032 the
+    # 2-term series is exact to single precision.
+    small = theta2 < _SMALL_THETA2
+    s_half = jnp.sin(0.5 * theta)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, 2.0 * s_half * s_half / theta2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
@@ -179,9 +190,10 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
-    small = theta2 < 1e-10
+    small = theta2 < _SMALL_THETA2
+    s_half = jnp.sin(0.5 * theta)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, 2.0 * s_half * s_half / theta2)
     c = jnp.where(
         small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta)
     )
@@ -201,14 +213,21 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
     W2 = W @ W
-    small = theta2 < 1e-10
-    # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    small = theta2 < _SMALL_THETA2
+    # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2, where
+    # 1 - a/(2b) = 1 - (theta/2) cot(theta/2). The naive a/b form divides
+    # by b = (1-cos)/theta^2, which underflows to 0 in f32 for
+    # theta < ~3.5e-4 (NaN residuals on tiny-rotation pose-graph edges);
+    # the cot form with a float32-sized Taylor branch is stable.
+    s_half = jnp.sin(0.5 * theta)
+    c_half = jnp.cos(0.5 * theta)
+    cot_term = 0.5 * theta * c_half / jnp.where(
+        jnp.abs(s_half) < _EPS, 1.0, s_half
+    )
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - a / (2.0 * b)) / theta2,
+        (1.0 - cot_term) / theta2,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + coef[..., None, None] * W2

@@ -69,8 +69,10 @@ def test_path_cov_approximates_exact_relative_cov():
     np.testing.assert_allclose(approx, np.eye(6) * 0.03, atol=1e-6)
     exact = pg.relative_covariance(2, 5)
     # rotation block: approximation matches the exact posterior closely
+    # (atol covers ~1%-of-diagonal off-diagonal terms from the exact
+    # posterior's f32 Jacobi-preconditioned inverse)
     np.testing.assert_allclose(approx[:3, :3], exact[:3, :3],
-                               rtol=0.25, atol=1e-4)
+                               rtol=0.25, atol=5e-4)
     # translation block: the path-sum approximation ignores rotation
     # lever arms entirely, so it *underestimates* the exact posterior —
     # just check positive-definiteness of both
