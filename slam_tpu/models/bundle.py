@@ -40,16 +40,21 @@ def select_keyframes(
     T_w2c: np.ndarray,
     cfg: KeyframeConfig = KeyframeConfig(),
     T_dist: np.ndarray | None = None,
+    start: int = 0,
 ) -> list[int]:
     """Greedy keyframe cut, reference criteria (bundle.py:233-239):
     advance from the current keyframe until distance > max_dist_m, or
     track survival < min_track_survival, or accumulated rotation >
-    max_angle_deg, or gap == max_gap; never cut before min_gap."""
+    max_angle_deg, or gap == max_gap; never cut before min_gap.
+
+    ``start`` begins the scan at a given frame (used by the stage-overlap
+    scheduler to resume from the last finalized keyframe; the greedy cut
+    is prefix-stable, so resuming reproduces the full-sequence cuts)."""
     F = db.num_frames
     Td = T_w2c if T_dist is None else T_dist
     centers = metrics.camera_centers(Td)
-    kfs = [0]
-    k = 0
+    kfs = [start]
+    k = start
     while k < F - 1:
         k_tracks = db.track_ids[k]
         k_set = k_tracks[k_tracks != NO_ID]

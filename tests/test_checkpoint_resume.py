@@ -26,6 +26,7 @@ def seq():
     return scene, L, R
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(seq, tmp_path):
     scene, L, R = seq
     ck = tmp_path / "fe.npz"

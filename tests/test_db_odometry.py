@@ -1,6 +1,9 @@
 """DB-only PnP trajectory reconstruction (gtsam_utils.calc_rel_T parity)."""
 
 import jax
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # module fixture runs a full rendered frontend
 import numpy as np
 import pytest
 

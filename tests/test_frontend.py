@@ -32,6 +32,7 @@ def seq():
     return scene, L, R
 
 
+@pytest.mark.slow
 def test_frontend_tracks_synthetic_sequence(seq):
     scene, L, R = seq
     res = frontend.run_frontend(L, R, scene.calib, CFG)
@@ -47,6 +48,7 @@ def test_frontend_tracks_synthetic_sequence(seq):
     assert float(rot.max()) < 2.0
 
 
+@pytest.mark.slow
 def test_frontend_chunking_is_seamless(seq):
     """Same result regardless of chunk size (boundary carry correctness)."""
     scene, L, R = seq

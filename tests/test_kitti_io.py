@@ -167,6 +167,7 @@ def test_bucket_for_and_padding():
         kitti.pad_to_bucket(imgs, (256, 1024))
 
 
+@pytest.mark.slow
 def test_multi_sequence_shared_bucket_runs():
     """Two synthetic sequences at DIFFERENT resolutions run through
     run_multi_sequence under one shared padded shape (the multi-seq

@@ -45,6 +45,7 @@ def batch_and_calib():
     return b, scene.calib
 
 
+@pytest.mark.slow
 def test_sharded_ba_matches_single_device(batch_and_calib):
     batch, calib = batch_and_calib
     # single-device reference

@@ -108,6 +108,7 @@ def test_stats(store):
     assert s["min_track_length"] == 2
 
 
+@pytest.mark.slow
 def test_from_real_frontend_shapes():
     """Integration: build from an actual frontend run (small scene)."""
     import jax
