@@ -251,7 +251,10 @@ def bench_ba_windows() -> float:
         T = poses_gt[ci]
         Xc = jnp.einsum("mij,mj->mi", T[:, :3, :3], points_gt[li]) + T[:, :3, 3]
         meas = stereo.project(calib, Xc) + 0.3 * jax.random.normal(k3, (M, 3))
-        w = jnp.ones(M, jnp.float32)
+        # observations behind (or grazing) the camera never exist in real
+        # data — zero their weights so the LM trajectory is realistic
+        # (visible obs only; the padded-lane machinery is what's timed)
+        w = (Xc[:, 2] > 0.5).astype(jnp.float32)
         dpose = 0.01 * jax.random.normal(k4, (P, 6))
         dpose = dpose.at[0].set(0.0)
         poses0 = jax.vmap(se3.retract)(poses_gt, dpose)

@@ -87,6 +87,9 @@ def main() -> int:
 
     cfg = SlamConfig()
     cfg.save(out / "config.json")
+    from slam_tpu.config import enable_compile_cache
+
+    enable_compile_cache(cfg.runtime)
 
     # ---- stage 1: scene + render -----------------------------------------
     fL, fR = out / "images_L.npy", out / "images_R.npy"

@@ -40,7 +40,15 @@ def main(argv=None) -> int:
                    help="SlamConfig JSON (see slam_tpu/config.py)")
     p.add_argument("--no-loop-closure", action="store_true")
     p.add_argument("--no-analysis", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the image's site config "
+                        "pins jax_platforms to the accelerator)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from .config import SlamConfig
     from . import pipeline

@@ -93,6 +93,30 @@ class LoopConfig:
 class RuntimeConfig:
     chunk_frames: int = 32      # frames per device batch in the frontend
     desc_dtype: str = "bfloat16"
+    # persistent XLA compilation cache directory ("" disables). First
+    # compilation of the frontend/BA/pose-graph kernels is 20-60 s per
+    # shape; the cache makes every later process start warm (the
+    # reference has no compilation, so cold-start parity demands this).
+    compile_cache_dir: str = "~/.cache/slam_tpu_xla"
+
+
+def enable_compile_cache(cfg: "RuntimeConfig") -> None:
+    """Turn on JAX's persistent compilation cache (idempotent)."""
+    if not cfg.compile_cache_dir:
+        return
+    import os
+
+    import jax
+
+    path = os.path.expanduser(cfg.compile_cache_dir)
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every program, even fast-compiling ones: this environment
+        # pays a remote-tunnel round trip per compilation
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
 
 
 @dataclass(frozen=True)

@@ -76,6 +76,9 @@ def run_pipeline(
     and bundle adjustment shards the window axis across the devices
     (parallel/sharded_frontend.py, parallel/sharded_ba.py).
     """
+    from .config import enable_compile_cache
+
+    enable_compile_cache(cfg.runtime)
     timings = {}
     log = print if verbose else (lambda *a, **k: None)
 
