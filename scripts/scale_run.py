@@ -185,7 +185,10 @@ def main() -> int:
     if fresh("loop", f_pg_lc, f_closures):
         t0 = time.perf_counter()
         pg = PoseGraph.load(f_pg)
-        closures = lc_mod.find_loops(pg, db, fe.desc, fe.valid, calib, cfg)
+        loop_tm: dict = {}
+        closures = lc_mod.find_loops(pg, db, fe.desc, fe.valid, calib, cfg,
+                                     timings=loop_tm)
+        log(f"loop stage breakdown: {json.dumps(loop_tm)}")
         pg.save(f_pg_lc)
         f_closures.write_text(json.dumps([
             {"kf_i": c.kf_i, "kf_j": c.kf_j, "frame_i": c.frame_i,

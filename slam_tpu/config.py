@@ -108,7 +108,14 @@ def enable_compile_cache(cfg: "RuntimeConfig") -> None:
 
     import jax
 
-    path = os.path.expanduser(cfg.compile_cache_dir)
+    # namespace per backend: a process driving the tunneled accelerator
+    # also compiles host-side CPU programs ON THE REMOTE host, whose CPU
+    # features differ from the local machine — sharing one cache dir lets
+    # a later local-CPU process load those foreign AOT results (SIGILL
+    # risk; XLA logs machine-feature mismatches). Separate dirs keep each
+    # backend's entries self-consistent.
+    path = os.path.join(os.path.expanduser(cfg.compile_cache_dir),
+                        jax.default_backend())
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -178,6 +178,7 @@ def find_loops(
     calib,
     cfg: SlamConfig = SlamConfig(),
     reoptimize_every: bool = True,
+    timings: dict | None = None,
 ) -> list[Closure]:
     """Scan keyframes in order, gate by batched Mahalanobis distance,
     verify by batched matching+RANSAC, refine by mini-bundle, insert the
@@ -193,6 +194,19 @@ def find_loops(
     N = pg.num_nodes
     key = jax.random.PRNGKey(cfg.seed + 1)
 
+    import time as _time
+
+    tm = timings if timings is not None else {}
+    for k_ in ("gate_s", "verify_s", "refine_s", "reopt_s",
+               "gate_refreshes", "verify_calls"):
+        tm.setdefault(k_, 0.0)
+
+    def _timed(bucket, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        tm[bucket] += _time.perf_counter() - t0
+        return out
+
     def all_pairs_gate():
         """(N, N) Mahalanobis matrix in ONE fused device call (posterior
         inverse + batched sweep; recomputed only after an accepted closure
@@ -203,7 +217,8 @@ def find_loops(
         D[ii, jj] = d
         return D
 
-    D = all_pairs_gate()
+    D = _timed("gate_s", all_pairs_gate)
+    tm["gate_refreshes"] += 1
     closures: list[Closure] = []
     spec: dict[int, tuple] = {}     # speculative verification results
     SPEC_Q = 4                      # keyframes verified per device call
@@ -230,20 +245,24 @@ def find_loops(
             m += 1
         if not batch:
             return
+        tm["verify_calls"] += 1
         while len(batch) < SPEC_Q:  # pad to static Q (results discarded)
             batch.append(batch[-1])
         ns = [b[0] for b in batch]
         f_q = np.asarray([kfs[b[0]] for b in batch])
         f_c = np.asarray([[kfs[int(g)] for g in b[2]] for b in batch])
-        vr = _verify_candidates_multi(
-            key,
-            jnp.asarray(desc[f_q]), jnp.asarray(desc_valid[f_q]),
-            jnp.asarray(db.links[f_q]), jnp.asarray(db.link_valid[f_q]),
-            jnp.asarray(desc[f_c]), jnp.asarray(desc_valid[f_c]),
-            jnp.asarray(db.links[f_c]), jnp.asarray(db.link_valid[f_c]),
-            calib, cfg.ransac.num_hypotheses, cfg.ransac.threshold_px,
-        )
-        vr = jax.tree.map(np.asarray, vr)
+        def _run_verify():
+            vr = _verify_candidates_multi(
+                key,
+                jnp.asarray(desc[f_q]), jnp.asarray(desc_valid[f_q]),
+                jnp.asarray(db.links[f_q]), jnp.asarray(db.link_valid[f_q]),
+                jnp.asarray(desc[f_c]), jnp.asarray(desc_valid[f_c]),
+                jnp.asarray(db.links[f_c]), jnp.asarray(db.link_valid[f_c]),
+                calib, cfg.ransac.num_hypotheses, cfg.ransac.threshold_px,
+            )
+            return jax.tree.map(np.asarray, vr)
+
+        vr = _timed("verify_s", _run_verify)
         for qi, (m_, n_good_, gp_) in enumerate(batch):
             if m_ not in spec:
                 spec[m_] = (
@@ -284,10 +303,10 @@ def find_loops(
         nonlocal D
         g, fi, n_inl, frac, inliers, match_tgt, T0, maha = hit
         fj = kfs[n]
-        rel_T, rel_cov = _refine_pair(
+        rel_T, rel_cov = _timed("refine_s", lambda: _refine_pair(
             db.links[fi], db.links[fj], inliers, match_tgt, T0, calib,
             max_landmarks=cfg.bundle.max_landmarks,
-        )
+        ))
         closures.append(
             Closure(
                 kf_i=g, kf_j=n, frame_i=fi, frame_j=fj,
@@ -298,8 +317,9 @@ def find_loops(
         pg.add_edge(g, n, rel_T, rel_cov, loop=True)
         spec.clear()  # the posterior changed; discard speculation
         if reoptimize_every:
-            pg.optimize()
-            D = all_pairs_gate()
+            _timed("reopt_s", pg.optimize)
+            D = _timed("gate_s", all_pairs_gate)
+            tm["gate_refreshes"] += 1
 
     def commit_from_back(deferred):
         """Leaving a familiar segment: re-verify the deferred keyframes in

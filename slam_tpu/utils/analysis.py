@@ -264,8 +264,14 @@ def plot_rel_subsection(out_dir, name, T_est, T_gt, lengths=(100, 400, 800)):
     """Per-start-frame relative error curves over fixed sub-section
     lengths, one norm and one angle artifact per stage (ref :801-920 PnP,
     :961-1075 bundle: a curve per length + overall-mean line)."""
-    curves = metrics.relative_subsequence_curves(T_est, T_gt, lengths)
     summary = metrics.relative_subsequence_error(T_est, T_gt, lengths)
+    # adapt to short sequences: the reference's 100/400/800-frame sections
+    # (analysis.py:801,961) assume seq-00 length; a shorter run still
+    # emits the artifact, over the lengths that fit (summary above keeps
+    # the reference lengths for numeric comparability)
+    F = T_est.shape[0]
+    fit = tuple(L for L in lengths if L < F) or (max(2, F // 2),)
+    curves = metrics.relative_subsequence_curves(T_est, T_gt, fit)
     if not curves:
         return summary
     plt = _plt()
