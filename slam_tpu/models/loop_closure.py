@@ -204,7 +204,9 @@ def find_loops(
     def _timed(bucket, fn):
         t0 = _time.perf_counter()
         out = fn()
-        tm[bucket] += _time.perf_counter() - t0
+        dt = _time.perf_counter() - t0
+        tm[bucket] += dt
+        tm.setdefault(bucket + "_calls", []).append(round(dt, 2))
         return out
 
     def all_pairs_gate():
@@ -233,16 +235,24 @@ def find_loops(
     def speculate(start_n, key):
         """Verify candidates of up to SPEC_Q gated keyframes >= start_n in
         one batched call; fill ``spec``."""
+        speculate_list(range(start_n, N), key)
+
+    def speculate_list(ns, key):
+        """Verify candidates of the first SPEC_Q gated keyframes of ``ns``
+        (any order — the backward familiar-segment walk passes descending
+        indices) in one batched device call; fill ``spec``."""
         batch = []
-        m = start_n
-        while m < N and len(batch) < SPEC_Q:
+        for m in ns:
+            if len(batch) >= SPEC_Q:
+                break
+            if m in spec:
+                continue
             _, g = gated(m)
             if len(g):
                 gp = np.concatenate(
                     [g, np.repeat(g[:1], lc.max_candidates - len(g))]
                 )
                 batch.append((m, len(g), gp))
-            m += 1
         if not batch:
             return
         tm["verify_calls"] += 1
@@ -325,12 +335,25 @@ def find_loops(
         """Leaving a familiar segment: re-verify the deferred keyframes in
         reverse order and commit the FIRST that passes (the reference
         commits exactly one closure per familiar segment, from the back —
-        loop_closure.py:334-347)."""
-        for n_ in reversed(deferred):
-            hit = verify_one(n_)
-            if hit is not None:
-                commit(n_, hit)
-                return
+        loop_closure.py:334-347).
+
+        Speculation runs BACKWARD here, in blocks of SPEC_Q: the forward
+        speculate() would cover keyframes the walk has already passed, so
+        every step would miss the cache and pay a full device call with
+        one useful lane (observed: ~100 extra verify calls at reference
+        scale)."""
+        nonlocal key
+        rev = list(reversed(deferred))
+        for s in range(0, len(rev), SPEC_Q):
+            blk = rev[s : s + SPEC_Q]
+            if any(n_ not in spec for n_ in blk):
+                key, sub = jax.random.split(key)
+                speculate_list(blk, sub)
+            for n_ in blk:
+                hit = verify_one(n_)
+                if hit is not None:
+                    commit(n_, hit)
+                    return
 
     # ---- scan (reference find_loops state machine, :311-349) -------------
     # While traversing a familiar segment (consecutive keyframes that keep

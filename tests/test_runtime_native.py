@@ -87,3 +87,20 @@ def test_prefetcher_streams_chunks(tmp_path):
             np.testing.assert_allclose(L[f], k * 20 / 255.0, atol=1e-6)
             np.testing.assert_allclose(R[f], (k * 20 + 5) / 255.0, atol=1e-6)
             k += 1
+
+
+@pytest.mark.slow
+def test_tsan_prefetcher_clean():
+    """ThreadSanitizer gate on the threaded prefetcher (SURVEY §5 race
+    detection: the reference has no threads; this runtime does, so it
+    gets a sanitizer run — scripts/tsan_native.py)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(root / "scripts/tsan_native.py")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
