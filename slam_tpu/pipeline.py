@@ -69,12 +69,16 @@ def run_pipeline(
     run_loop_closure: bool = True,
     verbose: bool = True,
     mesh=None,
+    overlap: bool = False,
 ) -> PipelineResult:
     """The full pipeline (reference run_project, project.py:27-94).
 
     With ``mesh`` (a jax.sharding.Mesh) the frontend shards the frame axis
     and bundle adjustment shards the window axis across the devices
-    (parallel/sharded_frontend.py, parallel/sharded_ba.py).
+    (parallel/sharded_frontend.py, parallel/sharded_ba.py). With
+    ``overlap=True`` (requires ``mesh``) the mesh is split into frontend /
+    backend stage groups and bundle adjustment runs concurrently with the
+    frontend (parallel/stage_overlap.py — pipeline parallelism).
     """
     from .config import enable_compile_cache
 
@@ -93,22 +97,34 @@ def run_pipeline(
     if cache:
         cache.mkdir(parents=True, exist_ok=True)
 
-    # stage 1+2: frontend + track store
-    if mesh is not None:
-        from .parallel.sharded_frontend import run_frontend_sharded
+    # stages 1-3: frontend + track store + bundles
+    if overlap and mesh is not None:
+        # pipeline parallelism: frontend stage group ‖ BA stage group
+        # (parallel/stage_overlap.py); one timing bucket since the stages
+        # genuinely run concurrently
+        from .parallel.stage_overlap import run_pipeline_overlapped
 
-        fe = timed("frontend", lambda: run_frontend_sharded(
-            images_left, images_right, calib, mesh, cfg))
+        fe, db, bundles = timed("frontend+bundles_overlapped",
+                                lambda: run_pipeline_overlapped(
+                                    images_left, images_right, calib, cfg,
+                                    mesh=mesh))
+        if cache:
+            db.save(cache / "trackstore.npz")
     else:
-        fe = timed("frontend", lambda: frontend_mod.run_frontend(
-            images_left, images_right, calib, cfg))
-    db = timed("trackstore", lambda: TrackStore.from_frontend(fe))
-    if cache:
-        db.save(cache / "trackstore.npz")
+        if mesh is not None:
+            from .parallel.sharded_frontend import run_frontend_sharded
 
-    # stage 3: bundles
-    bundles = timed("bundles", lambda: bundle_mod.run_bundles(
-        db, fe.T_w2c, calib, cfg, mesh=mesh))
+            fe = timed("frontend", lambda: run_frontend_sharded(
+                images_left, images_right, calib, mesh, cfg))
+        else:
+            fe = timed("frontend", lambda: frontend_mod.run_frontend(
+                images_left, images_right, calib, cfg))
+        db = timed("trackstore", lambda: TrackStore.from_frontend(fe))
+        if cache:
+            db.save(cache / "trackstore.npz")
+
+        bundles = timed("bundles", lambda: bundle_mod.run_bundles(
+            db, fe.T_w2c, calib, cfg, mesh=mesh))
 
     # stage 4: pose graph
     def _pg():

@@ -38,6 +38,25 @@ def test_split_mesh_partitions_devices():
     assert fe1.devices.size == ba1.devices.size == 1
 
 
+def test_run_pipeline_overlap_flag():
+    """run_pipeline(mesh=..., overlap=True) runs the whole pipeline with
+    the stage-group scheduler and produces a coherent result."""
+    from slam_tpu import pipeline as pipeline_mod
+
+    scene = synthetic.make_scene(
+        jax.random.PRNGKey(9), num_frames=16, num_landmarks=2000,
+        hw=(128, 256), step_m=0.8,
+    )
+    L, R = synthetic.render_sequence(scene)
+    m = mesh_lib.make_mesh()
+    res = pipeline_mod.run_pipeline(L, R, scene.calib, CFG, mesh=m,
+                                    overlap=True, run_loop_closure=False,
+                                    verbose=False)
+    rep = pipeline_mod.evaluate(res, np.asarray(scene.T_w2c))
+    assert rep["bundles_kf"]["ate_rmse_m"] < 0.5
+    assert "frontend+bundles_overlapped" in res.timings
+
+
 def test_overlapped_matches_sequential():
     scene = synthetic.make_scene(
         jax.random.PRNGKey(7), num_frames=32, num_landmarks=2500,
