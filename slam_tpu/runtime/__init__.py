@@ -162,7 +162,10 @@ class StereoPrefetcher:
         if got == 0:
             self.close()
             raise StopIteration
+        # got is the chunk's valid-frame count (tail chunks are partial);
+        # cross-check against our own serving counter
         n_valid = min(self.chunk, self._num - self._served)
+        assert got == n_valid, (got, n_valid)
         self._served += n_valid
         return L[:n_valid], R[:n_valid]
 

@@ -138,7 +138,8 @@ struct Loader {
   std::thread worker;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
-  std::deque<std::vector<float>> ready;  // each: 2*chunk*H*W (L then R)
+  // each queued chunk: (valid frame count, 2*chunk*H*W floats L then R)
+  std::deque<std::pair<int32_t, std::vector<float>>> ready;
   size_t next_chunk = 0, total_chunks = 0, chunks_done = 0;
   size_t max_queue = 2;
   std::atomic<bool> stop{false};
@@ -181,7 +182,7 @@ struct Loader {
       for (auto& t : pool) t.join();
       {
         std::lock_guard<std::mutex> lk(mu);
-        ready.emplace_back(std::move(buf));
+        ready.emplace_back((int32_t)n, std::move(buf));
         ++chunks_done;
       }
       cv_ready.notify_one();
@@ -209,8 +210,8 @@ void* loader_create(const char** left_paths, const char** right_paths,
 // (each chunk*H*W floats). Returns the number of valid frames, 0 at end.
 int32_t loader_next(void* handle, float* out_left, float* out_right) {
   Loader* L = (Loader*)handle;
+  int32_t n = 0;
   std::vector<float> buf;
-  static thread_local size_t served = 0;
   {
     std::unique_lock<std::mutex> lk(L->mu);
     L->cv_ready.wait(lk, [&] {
@@ -218,15 +219,15 @@ int32_t loader_next(void* handle, float* out_left, float* out_right) {
              L->stop;
     });
     if (L->ready.empty()) return 0;
-    buf = std::move(L->ready.front());
+    n = L->ready.front().first;
+    buf = std::move(L->ready.front().second);
     L->ready.pop_front();
   }
   L->cv_space.notify_one();
   size_t plane = (size_t)L->chunk * L->H * L->W;
   memcpy(out_left, buf.data(), plane * sizeof(float));
   memcpy(out_right, buf.data() + plane, plane * sizeof(float));
-  (void)served;
-  return L->chunk;
+  return n;  // valid frames in this chunk (tail chunks are partial)
 }
 
 void loader_destroy(void* handle) {
