@@ -327,10 +327,36 @@ def load_frontend_checkpoint(path):
             outs.append({key: s[key] for key in _CKPT_KEYS + ("T_chain",)})
             T_list.append(s["T_w2c"])
         return outs, T_list, carry, z["T_carry"], int(z["next_start"])
-    # legacy monolithic checkpoint
-    out = {k: z[k] for k in _CKPT_KEYS}
-    out["T_chain"] = z["T_chain"]
+    # legacy monolithic checkpoint (written before the per-segment layout)
+    missing = [k for k in _CKPT_KEYS + ("T_chain", "T_w2c") if k not in z.files]
+    if missing:
+        raise RuntimeError(
+            f"frontend checkpoint {path} predates the current format "
+            f"(missing arrays: {missing}); delete it to recompute"
+        )
+    out = {k: z[k] for k in _CKPT_KEYS + ("T_chain",)}
     return [out], [z["T_w2c"]], carry, z["T_carry"], int(z["next_start"])
+
+
+def _convert_legacy_checkpoint(path, outs, T_w2c_all, carry, T_carry,
+                               next_start) -> None:
+    """Rewrite a legacy monolithic checkpoint as segment 0 + meta.
+
+    Must happen BEFORE any further incremental save: _save_checkpoint
+    writes `<path>.segN` then replaces `<path>` with meta only — on a
+    legacy file that would destroy the sole copy of the loaded frames."""
+    blob = {k: np.concatenate([o[k] for o in outs], axis=0)
+            for k in _CKPT_KEYS + ("T_chain",)}
+    blob["T_w2c"] = np.concatenate(T_w2c_all, axis=0)
+    np.savez_compressed(str(_seg_path(path, 0)), **blob)
+    meta = {
+        "T_carry": T_carry,
+        "next_start": np.int64(next_start),
+        "num_segments": np.int64(1),
+    }
+    for k, v in (carry or {}).items():
+        meta[f"carry_{k}"] = np.asarray(v)
+    np.savez_compressed(str(path), **meta)
 
 
 def run_frontend(
@@ -376,12 +402,20 @@ def run_frontend(
     T_w2c_all = []
     first_start = 0
     seg_idx = 0
+    legacy_ckpt = False
     if resume and checkpoint_path and Path(checkpoint_path).exists():
+        with np.load(str(checkpoint_path)) as _z:
+            legacy_ckpt = "num_segments" not in _z.files
         outs, T_w2c_all, carry, T_carry, first_start = (
             load_frontend_checkpoint(checkpoint_path)
         )
         seg_idx = len(outs)
     starts = list(range(first_start, F, chunk))
+    if legacy_ckpt and starts:
+        # more chunks will be appended: migrate the monolithic file to the
+        # segmented layout first so incremental saves cannot clobber it
+        _convert_legacy_checkpoint(checkpoint_path, outs, T_w2c_all, carry,
+                                   T_carry, first_start)
     if not starts:  # checkpoint already covers the whole sequence
         return _assemble_result(outs, T_w2c_all)
     last_ckpt = first_start

@@ -35,6 +35,36 @@ import numpy as np
 NO_ID = -1
 
 
+def chain_tracks(track_ids, next_track, match_prev, inlier_prev, f0, f1):
+    """Extend track-id chaining over frames [f0, f1) in place.
+
+    The single source of the id-assignment rule (reference add_frame,
+    tracking_database.py:301-328): an inlier match to a slot that already
+    carries a track id extends that track; otherwise a new id is issued
+    covering BOTH frames. Shared by TrackStore.from_frontend's numpy path
+    and the stage-overlap scheduler's incremental chaining
+    (parallel/stage_overlap.py), which must agree exactly.
+    """
+    for f in range(max(f0, 1), f1):
+        m = match_prev[f]                    # (K,) cur slot -> prev slot
+        ok = inlier_prev[f] & (m >= 0)
+        if not ok.any():
+            continue
+        cur = np.nonzero(ok)[0]
+        prev = m[cur]
+        prev_tids = track_ids[f - 1, prev]
+        has = prev_tids != NO_ID             # extend existing tracks
+        track_ids[f, cur[has]] = prev_tids[has]
+        n_new = int((~has).sum())
+        if n_new:                            # issue new tracks
+            new_ids = np.arange(next_track, next_track + n_new,
+                                dtype=np.int32)
+            next_track += n_new
+            track_ids[f - 1, prev[~has]] = new_ids
+            track_ids[f, cur[~has]] = new_ids
+    return next_track
+
+
 @dataclass
 class TrackStore:
     # core SoA
@@ -77,26 +107,8 @@ class TrackStore:
 
         F, K = front.link_valid.shape
         track_ids = np.full((F, K), NO_ID, np.int32)
-        next_track = 0
-        for f in range(1, F):
-            m = front.match_prev[f]          # (K,) cur slot -> prev slot
-            ok = front.inlier_prev[f] & (m >= 0)
-            if not ok.any():
-                continue
-            cur = np.nonzero(ok)[0]
-            prev = m[cur]
-            prev_tids = track_ids[f - 1, prev]
-            # extend existing tracks
-            has = prev_tids != NO_ID
-            track_ids[f, cur[has]] = prev_tids[has]
-            # issue new tracks (cover both frames, ref :318-326)
-            n_new = int((~has).sum())
-            if n_new:
-                new_ids = np.arange(next_track, next_track + n_new, dtype=np.int32)
-                next_track += n_new
-                track_ids[f - 1, prev[~has]] = new_ids
-                track_ids[f, cur[~has]] = new_ids
-
+        next_track = chain_tracks(track_ids, 0, front.match_prev,
+                                  front.inlier_prev, 1, F)
         return TrackStore._finalize(front, track_ids, next_track)
 
     @staticmethod

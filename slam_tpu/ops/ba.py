@@ -228,6 +228,14 @@ def _huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
     return s
 
 
+def default_engine() -> str:
+    """Schur-block engine by backend: matmul contraction feeds the MXU on
+    accelerators; scatter-add is smaller and faster on CPU hosts."""
+    import jax as _jax
+
+    return "scatter" if _jax.default_backend() == "cpu" else "onehot"
+
+
 @partial(jax.jit, static_argnames=("iters", "huber_delta", "engine"))
 @full_precision
 def optimize_bundle(
@@ -241,7 +249,7 @@ def optimize_bundle(
     iters: int = 20,
     lam0: float = 1e-4,
     huber_delta: float = 0.0,
-    engine: str = "onehot",
+    engine: str | None = None,
 ):
     """Levenberg-Marquardt on one window. Static iteration count with
     accept/reject damping (classic LM schedule: accept -> lam/3, reject ->
@@ -255,12 +263,15 @@ def optimize_bundle(
     ``engine``: "onehot" builds the Schur blocks by MXU matmul contraction
     against index one-hots (TPU fast path — scatter-add serializes on
     TPU); "scatter" is the XLA scatter-add path (lower memory, the better
-    choice on CPU).
+    choice on CPU). Default (None) resolves by backend at trace time:
+    scatter on cpu, onehot elsewhere.
 
     Returns (poses, points, final_cost, lam).
     """
     P, L = poses.shape[0], points.shape[0]
     M = cam_idx.shape[0]
+    if engine is None:
+        engine = default_engine()
     onehots = None
     if engine == "onehot":
         dt = poses.dtype
@@ -326,7 +337,7 @@ def optimize_bundle_pruned(
     poses, points, cam_idx, lm_idx, meas, w, calib,
     iters: int = 20, prune_rounds: int = 2,
     min_depth: float = 0.1, max_depth: float = 1000.0,
-    huber_delta: float = 0.0, engine: str = "onehot",
+    huber_delta: float = 0.0, engine: str | None = None,
 ):
     """LM with interleaved depth pruning (reference optimize_graph loop,
     bundle.py:199-211: optimize, drop z<0/z>1000 landmarks, re-optimize)."""

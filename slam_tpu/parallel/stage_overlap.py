@@ -39,7 +39,7 @@ from jax.sharding import Mesh
 from ..config import SlamConfig
 from ..models import bundle as bundle_mod
 from ..models import frontend as frontend_mod
-from ..models.trackstore import NO_ID, TrackStore
+from ..models.trackstore import NO_ID, TrackStore, chain_tracks
 from . import mesh as mesh_lib
 from .sharded_ba import ba_training_step
 from .sharded_frontend import frontend_training_step
@@ -62,29 +62,6 @@ def split_mesh(mesh: Mesh | None, fe_devices: int | None = None,
     n_fe = max(1, min(n_fe, len(devs) - 1))
     return (Mesh(np.asarray(devs[:n_fe]), (axis,)),
             Mesh(np.asarray(devs[n_fe:]), (axis,)))
-
-
-def _chain_tracks(track_ids, next_track, match_prev, inlier_prev, f0, f1):
-    """Extend track chaining over frames [f0, f1) (same rule as
-    TrackStore.from_frontend, incremental)."""
-    for f in range(max(f0, 1), f1):
-        m = match_prev[f]
-        ok = inlier_prev[f] & (m >= 0)
-        if not ok.any():
-            continue
-        cur = np.nonzero(ok)[0]
-        prev = m[cur]
-        prev_tids = track_ids[f - 1, prev]
-        has = prev_tids != NO_ID
-        track_ids[f, cur[has]] = prev_tids[has]
-        n_new = int((~has).sum())
-        if n_new:
-            new_ids = np.arange(next_track, next_track + n_new,
-                                dtype=np.int32)
-            next_track += n_new
-            track_ids[f - 1, prev[~has]] = new_ids
-            track_ids[f, cur[~has]] = new_ids
-    return next_track
 
 
 @dataclass
@@ -124,9 +101,21 @@ def run_pipeline_overlapped(
     )
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    # frontend accumulators
+    # frontend accumulators. Fixed-size arrays filled per chunk: a flush
+    # happens per chunk, so list-concatenation prefixes would make host
+    # work O(F^2) over the run — preallocation keeps each flush O(chunk)
+    # for the chaining and O(prefix) only for the (cheap) CSR lexsort.
     outs: list[dict] = []
-    T_w2c_all: list[np.ndarray] = []
+    T_all = np.zeros((F, 4, 4), np.float32)
+    acc = {
+        "xy": np.zeros((F, K, 2), np.float32),
+        "links": np.zeros((F, K, 3), np.float32),
+        "link_valid": np.zeros((F, K), bool),
+        "valid": np.zeros((F, K), bool),
+        "match_prev": np.full((F, K), -1, np.int32),
+        "inlier_prev": np.zeros((F, K), bool),
+        "inlier_frac": np.zeros(F, np.float32),
+    }
     T_carry = np.eye(4, dtype=np.float32)
     carry = None
     # incremental track chaining + keyframing state
@@ -138,11 +127,9 @@ def run_pipeline_overlapped(
     pending: list[_PendingBA] = []
 
     def prefix_front(n):
-        cat = lambda k_: np.concatenate([o[k_] for o in outs], axis=0)[:n]
         return SimpleNamespace(
-            xy=cat("xy"), desc=None, valid=cat("valid"), links=cat("links"),
-            link_valid=cat("link_valid"), match_prev=cat("match_prev"),
-            inlier_prev=cat("inlier_prev"), inlier_frac=cat("inlier_frac"),
+            desc=None,
+            **{k_: v[:n] for k_, v in acc.items()},
         )
 
     def flush_windows(final: bool):
@@ -157,7 +144,7 @@ def run_pipeline_overlapped(
             # F-1 (sequential select_keyframes always ends there)
         front = prefix_front(n)
         db = TrackStore._finalize(front, track_ids[:n], next_track)
-        T_prefix = np.concatenate(T_w2c_all, axis=0)[:n]
+        T_prefix = T_all[:n]
         cuts = bundle_mod.select_keyframes(
             db, T_prefix, cfg.keyframes, start=last_final_kf
         )[1:]
@@ -200,10 +187,12 @@ def run_pipeline_overlapped(
         out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
         T = out["T_chain"] @ T_carry[None]
         T_carry = T[-1]
-        T_w2c_all.append(T)
+        T_all[start : start + n] = T
         outs.append(out)
-        next_track = _chain_tracks_seq(track_ids, next_track, outs,
-                                       start, start + n)
+        for k_ in acc:
+            acc[k_][start : start + n] = out[k_]
+        next_track = chain_tracks(track_ids, next_track, acc["match_prev"],
+                                  acc["inlier_prev"], start, start + n)
         frames_done = start + n
         # overlap: backend group crunches dispatched windows while the
         # frontend group starts the next chunk
@@ -211,7 +200,9 @@ def run_pipeline_overlapped(
 
     flush_windows(final=True)
 
-    fe = frontend_mod._assemble_result(outs, T_w2c_all)
+    fe = frontend_mod._assemble_result(
+        outs, [T_all[i : i + step_frames]
+               for i in range(0, F, step_frames)])
     db = TrackStore._finalize(fe, track_ids, next_track)
 
     # gather all BA futures (single blocking point) and assemble
@@ -238,10 +229,3 @@ def run_pipeline_overlapped(
     )
     return fe, db, bundles
 
-
-def _chain_tracks_seq(track_ids, next_track, outs, f0, f1):
-    """Chain tracks for new frames [f0, f1) using the accumulated outs
-    (frame f0 links to f0-1 across the chunk boundary)."""
-    mp = np.concatenate([o["match_prev"] for o in outs], axis=0)
-    ip = np.concatenate([o["inlier_prev"] for o in outs], axis=0)
-    return _chain_tracks(track_ids, next_track, mp, ip, f0, f1)

@@ -168,12 +168,15 @@ def bucket_for(shapes, multiple: int = 8) -> tuple[int, int]:
 
 
 def pad_to_bucket(images: np.ndarray, bucket_hw: tuple[int, int]) -> np.ndarray:
-    """Zero-pad (F, H, W) images bottom/right to the bucket shape.
+    """Edge-replicate-pad (F, H, W) images bottom/right to the bucket shape.
 
     Bottom/right padding keeps pixel coordinates and the calibration
-    (cx, cy anchored at the top-left origin) valid; the zero region is
-    flat, so the Harris/AKAZE detectors produce no keypoints there and
-    the geometry is untouched.
+    (cx, cy anchored at the top-left origin) valid. Edge replication (not
+    zeros) avoids manufacturing a high-contrast step edge at the
+    content/padding boundary: a zero region next to real texture is a
+    strong static Harris/AKAZE response that would steal grid-cell top-K
+    slots from real features in every frame; a replicated edge is flat in
+    the pad direction, so the detectors stay quiet there.
     """
     F, H, W = images.shape
     BH, BW = bucket_hw
@@ -181,9 +184,7 @@ def pad_to_bucket(images: np.ndarray, bucket_hw: tuple[int, int]) -> np.ndarray:
         return images
     if H > BH or W > BW:
         raise ValueError(f"images {(H, W)} exceed bucket {bucket_hw}")
-    out = np.zeros((F, BH, BW), images.dtype)
-    out[:, :H, :W] = images
-    return out
+    return np.pad(images, ((0, 0), (0, BH - H), (0, BW - W)), mode="edge")
 
 
 def load_sequence(

@@ -53,6 +53,44 @@ def test_resume_matches_uninterrupted(seq, tmp_path):
     np.testing.assert_array_equal(resumed.pose_ok, full.pose_ok)
 
 
+@pytest.mark.slow
+def test_legacy_monolithic_checkpoint_migrates(seq, tmp_path):
+    """Resuming from a pre-segmented (monolithic) checkpoint must migrate
+    it to the segmented layout BEFORE appending — the old save order
+    (segN then meta-only main file) would otherwise destroy the sole copy
+    of the loaded frames — and later resumes must still work."""
+    scene, L, R = seq
+    ck = tmp_path / "fe_legacy.npz"
+    # produce a segmented half-run checkpoint, then rewrite it monolithic
+    frontend.run_frontend(L[:8], R[:8], scene.calib, CFG,
+                          checkpoint_path=str(ck), checkpoint_every=4)
+    outs, T_list, carry, T_carry, nxt = frontend.load_frontend_checkpoint(ck)
+    blob = {k: np.concatenate([o[k] for o in outs], axis=0)
+            for k in frontend._CKPT_KEYS + ("T_chain",)}
+    blob["T_w2c"] = np.concatenate(T_list, axis=0)
+    for k, v in (carry or {}).items():
+        blob[f"carry_{k}"] = np.asarray(v)
+    blob["T_carry"] = T_carry
+    blob["next_start"] = np.int64(nxt)
+    for p in tmp_path.glob("fe_legacy.seg*.npz"):
+        p.unlink()
+    np.savez_compressed(str(ck), **blob)
+
+    full = frontend.run_frontend(L, R, scene.calib, CFG)
+    resumed = frontend.run_frontend(L, R, scene.calib, CFG,
+                                    checkpoint_path=str(ck),
+                                    checkpoint_every=4, resume=True)
+    np.testing.assert_array_equal(resumed.T_w2c, full.T_w2c)
+    # the monolithic file was migrated: seg0000 exists, meta records it
+    assert (tmp_path / "fe_legacy.seg0000.npz").exists()
+    with np.load(str(ck)) as z:
+        assert "num_segments" in z.files
+    # a second resume (fully covered) still reproduces the run
+    again = frontend.run_frontend(L, R, scene.calib, CFG,
+                                  checkpoint_path=str(ck), resume=True)
+    np.testing.assert_array_equal(again.T_w2c, full.T_w2c)
+
+
 def test_resume_noop_when_complete(seq, tmp_path):
     scene, L, R = seq
     ck = tmp_path / "fe3.npz"

@@ -162,7 +162,12 @@ def test_bucket_for_and_padding():
     padded = kitti.pad_to_bucket(imgs, bucket)
     assert padded.shape == (2, 376, 1248)
     np.testing.assert_array_equal(padded[:, :370, :1226], imgs)
-    assert padded[:, 370:, :].max() == 0.0 and padded[:, :, 1226:].max() == 0.0
+    # padding is edge-replicated (flat, detector-quiet), not a zero step
+    np.testing.assert_array_equal(padded[:, 370:, :1226],
+                                  np.repeat(imgs[:, 369:370, :], 6, axis=1))
+    np.testing.assert_array_equal(padded[:, :, 1226:],
+                                  np.repeat(padded[:, :, 1225:1226], 22,
+                                            axis=2))
     with pytest.raises(ValueError):
         kitti.pad_to_bucket(imgs, (256, 1024))
 
