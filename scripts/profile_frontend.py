@@ -68,8 +68,8 @@ def main() -> int:
 
     imgs = jnp.concatenate([Lj, Rj], axis=0).astype(jnp.float32) / 255.0
 
-    detect = jax.jit(jax.vmap(
-        lambda im: features.detect_and_describe(im, max_kp=K)))
+    detect = jax.jit(
+        lambda im: features.detect_and_describe_batch(im, max_kp=K))
     t_detect = timeit(detect, args.iters, imgs)
 
     feats = detect(imgs)

@@ -126,9 +126,7 @@ def process_chunk(
             )
         )(imgs)
     else:
-        feats = jax.vmap(
-            lambda im: features.detect_and_describe(im, max_kp=K)
-        )(imgs)
+        feats = features.detect_and_describe_batch(imgs, max_kp=K)
     fl = jax.tree.map(lambda x: x[:F], feats)
     fr = jax.tree.map(lambda x: x[F:], feats)
 

@@ -168,6 +168,48 @@ def rigid_align(
 rigid_align_batched = jax.vmap(rigid_align, in_axes=(0, 0, None))
 
 
+def rigid_align_3pt(pa: jnp.ndarray, pb: jnp.ndarray):
+    """SVD-free rigid alignment for a MINIMAL 3-point set.
+
+    Builds an orthonormal triad from each triple and composes
+    R = B A^T — exact for consistent correspondences (the minimal-set
+    case RANSAC hypothesis generation feeds it). jnp.linalg.svd on
+    batches of 3x3s lowers to a slow iterative loop on TPU (~8 us per
+    matrix, which made hypothesis generation dominate the whole frontend
+    RANSAC: cost scaled with hypothesis count and not with point count);
+    the triad form is pure elementwise/cross-product arithmetic.
+
+    Degenerate (collinear) triples return ok=False, like
+    :func:`rigid_align`'s singular-value test.
+    """
+
+    def triad(p):
+        u = p[1] - p[0]
+        v = p[2] - p[0]
+        c = jnp.cross(u, v)
+        n_u = jnp.linalg.norm(u)
+        n_c = jnp.linalg.norm(c)
+        ok = (n_u > 1e-9) & (n_c > 1e-9 * jnp.maximum(n_u, 1e-9))
+        e1 = u / jnp.maximum(n_u, 1e-12)
+        e3 = c / jnp.maximum(n_c, 1e-12)
+        e2 = jnp.cross(e3, e1)
+        return jnp.stack([e1, e2, e3], axis=-1), ok  # columns
+
+    A, ok_a = triad(pa)
+    B, ok_b = triad(pb)
+    R = B @ A.T
+    abar = jnp.mean(pa, axis=0)
+    bbar = jnp.mean(pb, axis=0)
+    t = bbar - R @ abar
+    ok = ok_a & ok_b & jnp.isfinite(R).all()
+    R = jnp.where(ok, R, jnp.eye(3, dtype=pa.dtype))
+    t = jnp.where(ok, t, jnp.zeros_like(t))
+    return se3.make_T(R, t), ok
+
+
+rigid_align_3pt_batched = jax.vmap(rigid_align_3pt)
+
+
 @full_precision
 def refine_pose_gn(
     T_w2c: jnp.ndarray,

@@ -109,6 +109,7 @@ def detect(
     cell: int = 16,
     border: int = 12,
     min_response: float = 1e-7,
+    resp: jnp.ndarray | None = None,
 ):
     """Detect up to ``max_kp`` corners on one image.
 
@@ -124,7 +125,8 @@ def detect(
     Returns dict with xy (max_kp, 2) float32 pixel coords, resp (max_kp,),
     valid (max_kp,) bool.
     """
-    resp = harris_response(img)
+    if resp is None:
+        resp = harris_response(img)
     return select_keypoints(resp, max_kp, cell, border, min_response)
 
 
@@ -305,14 +307,39 @@ def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarr
 
 
 @partial(jax.jit, static_argnames=("max_kp",))
-def detect_and_describe(img: jnp.ndarray, max_kp: int = DEFAULT_MAX_KP):
+def detect_and_describe(img: jnp.ndarray, max_kp: int = DEFAULT_MAX_KP,
+                        resp: jnp.ndarray | None = None):
     """cv2 ``detectAndCompute`` equivalent for one image (jit, static out).
 
+    ``resp`` optionally supplies a precomputed Harris response (the fused
+    batched Pallas kernel, pallas_kernels.harris_response_batch).
     Returns dict: xy (max_kp, 2), desc (max_kp, 128), valid (max_kp,).
     """
-    det = detect(img, max_kp=max_kp)
+    det = detect(img, max_kp=max_kp, resp=resp)
     desc = describe(img, det["xy"], det["valid"])
     return {"xy": det["xy"], "desc": desc, "valid": det["valid"], "resp": det["resp"]}
+
+
+def detect_and_describe_batch(imgs: jnp.ndarray,
+                              max_kp: int = DEFAULT_MAX_KP,
+                              use_pallas: bool | None = None):
+    """Batched single-octave detect+describe over (F, H, W) images.
+
+    On TPU the Harris response comes from the fused Pallas kernel (one
+    VMEM pass per row tile — the 1-channel conv pipeline is the detection
+    bottleneck otherwise); elsewhere it falls back to the jnp pipeline.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from . import pallas_kernels as pk
+
+        resp = pk.harris_response_batch(imgs)
+    else:
+        resp = jax.vmap(harris_response)(imgs)
+    return jax.vmap(
+        lambda im, r: detect_and_describe(im, max_kp=max_kp, resp=r)
+    )(imgs, resp)
 
 
 def _downsample2(img: jnp.ndarray) -> jnp.ndarray:

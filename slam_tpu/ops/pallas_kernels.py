@@ -209,3 +209,106 @@ def mutual_match_pallas(desc_a, desc_b, valid_a, valid_b, max_dist=1e8,
         "dist": jnp.where(matched, rdist, jnp.float32(1e9)),
         "matched": matched,
     }
+
+
+# ---------------------------------------------------------------------------
+# fused Harris response (detection hot path)
+# ---------------------------------------------------------------------------
+#
+# The jnp Harris pipeline (ops/features.harris_response) runs 8 image-sized
+# convolution passes through 1-channel lax.conv ops — a shape the TPU
+# compiler maps terribly (single-feature convs leave the MXU ~idle and
+# each pass round-trips HBM). This kernel computes the WHOLE response —
+# Sobel gradients, the three gaussian-smoothed second-moment products and
+# the det/trace combination — in one VMEM pass per row tile: each input
+# row is read from HBM exactly once (plus a 3-row halo) and only the
+# response is written back.
+
+HARRIS_TILE = 112     # output rows per program
+# halo is 3 rows mathematically (sobel r=1 + gaussian r=2) but 4 are
+# DMA'd so the copied row count (TILE + 2*4) stays sublane-aligned (8);
+# the kernel slices the surplus row off after the blur.
+_HHALO = 4
+_HPAD_C = 8           # zero columns each side: roll wrap containment + SAME
+
+
+def _harris_kernel(img_ref, out_ref, buf, sem, *, k, gw):
+    t = pl.program_id(1)
+    f = pl.program_id(0)
+    R = HARRIS_TILE + 2 * _HHALO
+    dma = pltpu.make_async_copy(
+        img_ref.at[f, pl.ds(t * HARRIS_TILE, R), :], buf, sem
+    )
+    dma.start()
+    dma.wait()
+    x = buf[:]                                   # (R, C) float32
+
+    def roll(z, s):
+        """roll(z, s)[j] = z[j + s] (pltpu.roll needs non-negative shifts)."""
+        if s == 0:
+            return z
+        return pltpu.roll(z, (-s) % z.shape[1], 1)
+
+    # sobel, separable: gx = smooth_rows[1,2,1] o diff_cols[-1,0,1] / 8
+    sr = x[0 : R - 2] + 2.0 * x[1 : R - 1] + x[2:R]      # (R-2, C)
+    gx = (roll(sr, 1) - roll(sr, -1)) * 0.125
+    sc = roll(x, 1) + 2.0 * x + roll(x, -1)              # cols smooth
+    gy = (sc[2:R] - sc[0 : R - 2]) * 0.125               # (R-2, C)
+
+    def blur(z):                                          # (R-2,C) -> (T,C)
+        Rz = z.shape[0]
+        rows = (gw[0] * z[0 : Rz - 4] + gw[1] * z[1 : Rz - 3]
+                + gw[2] * z[2 : Rz - 2] + gw[3] * z[3 : Rz - 1]
+                + gw[4] * z[4:Rz])
+        return (gw[0] * roll(rows, -2) + gw[1] * roll(rows, -1)
+                + gw[2] * rows + gw[3] * roll(rows, 1)
+                + gw[4] * roll(rows, 2))
+
+    gxx = blur(gx * gx)
+    gyy = blur(gy * gy)
+    gxy = blur(gx * gy)
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    resp = det - k * tr * tr             # (TILE + 2, C): one surplus row
+    out_ref[0] = resp[1 : 1 + HARRIS_TILE]   # each side from the 8-aligned DMA
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def harris_response_batch(imgs: jnp.ndarray, k: float = 0.05,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Batched fused Harris response: (F, H, W) float32 -> (F, H, W).
+
+    Matches ops/features.harris_response (zero-padded SAME semantics) to
+    float32 roundoff; see the kernel comment for why it exists.
+    """
+    import numpy as np
+
+    F, H, W = imgs.shape
+    T = HARRIS_TILE
+    n_t = -(-H // T)
+    Hp = n_t * T
+    CP = 128 * (-(-(W + 2 * _HPAD_C) // 128))
+    canvas = jnp.zeros((F, Hp + 2 * _HHALO, CP), imgs.dtype)
+    canvas = canvas.at[:, _HHALO : _HHALO + H,
+                       _HPAD_C : _HPAD_C + W].set(imgs)
+
+    sigma, radius = 1.5, 2
+    xg = np.arange(-radius, radius + 1, dtype=np.float32)
+    g = np.exp(-0.5 * (xg / sigma) ** 2)
+    gw = tuple(float(v) for v in (g / g.sum()))
+
+    out = pl.pallas_call(
+        functools.partial(_harris_kernel, k=k, gw=gw),
+        out_shape=jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype),
+        grid=(F, n_t),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, T, CP), lambda f, t: (f, t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * _HHALO, CP), imgs.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(canvas)
+    return out[:, :H, _HPAD_C : _HPAD_C + W]
