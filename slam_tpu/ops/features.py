@@ -110,6 +110,7 @@ def detect(
     border: int = 12,
     min_response: float = 1e-7,
     resp: jnp.ndarray | None = None,
+    resp_nms: jnp.ndarray | None = None,
 ):
     """Detect up to ``max_kp`` corners on one image.
 
@@ -127,7 +128,8 @@ def detect(
     """
     if resp is None:
         resp = harris_response(img)
-    return select_keypoints(resp, max_kp, cell, border, min_response)
+    return select_keypoints(resp, max_kp, cell, border, min_response,
+                            resp_nms=resp_nms)
 
 
 def select_keypoints(
@@ -136,6 +138,7 @@ def select_keypoints(
     cell: int = 16,
     border: int = 12,
     min_response: float = 1e-7,
+    resp_nms: jnp.ndarray | None = None,
 ):
     """Gridded top-K keypoint selection on any response map (shared by the
     Harris and nonlinear-scale-space detectors), with quadratic subpixel
@@ -149,7 +152,9 @@ def select_keypoints(
     """
     H, W = resp.shape
     resp_raw = resp
-    resp = _nms(resp)
+    # the fused Pallas detector emits the suppressed map alongside the raw
+    # response; recompute only when it wasn't supplied
+    resp = _nms(resp) if resp_nms is None else resp_nms
 
     # border + validity mask
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -269,7 +274,8 @@ def orientation_cell_maps(img: jnp.ndarray) -> jnp.ndarray:
     return maps
 
 
-def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
+             maps: jnp.ndarray | None = None) -> jnp.ndarray:
     """128-d SIFT-like descriptors for all keypoints of one image.
 
     4x4 spatial cells x 8 orientation bins, sampled from the precomputed
@@ -280,7 +286,8 @@ def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarr
     descriptor feeds the same downstream geometry.
     """
     K = xy.shape[0]
-    maps = orientation_cell_maps(img)  # (8, H, W)
+    if maps is None:
+        maps = orientation_cell_maps(img)  # (8, H, W)
 
     # 16 cell centers: offsets (-6, -2, +2, +6) in y and x
     offs = (jnp.arange(4, dtype=jnp.float32) - 1.5) * CELL  # (-6,-2,2,6)
@@ -308,15 +315,17 @@ def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarr
 
 @partial(jax.jit, static_argnames=("max_kp",))
 def detect_and_describe(img: jnp.ndarray, max_kp: int = DEFAULT_MAX_KP,
-                        resp: jnp.ndarray | None = None):
+                        resp: jnp.ndarray | None = None,
+                        resp_nms: jnp.ndarray | None = None,
+                        maps: jnp.ndarray | None = None):
     """cv2 ``detectAndCompute`` equivalent for one image (jit, static out).
 
     ``resp`` optionally supplies a precomputed Harris response (the fused
     batched Pallas kernel, pallas_kernels.harris_response_batch).
     Returns dict: xy (max_kp, 2), desc (max_kp, 128), valid (max_kp,).
     """
-    det = detect(img, max_kp=max_kp, resp=resp)
-    desc = describe(img, det["xy"], det["valid"])
+    det = detect(img, max_kp=max_kp, resp=resp, resp_nms=resp_nms)
+    desc = describe(img, det["xy"], det["valid"], maps=maps)
     return {"xy": det["xy"], "desc": desc, "valid": det["valid"], "resp": det["resp"]}
 
 
@@ -334,9 +343,13 @@ def detect_and_describe_batch(imgs: jnp.ndarray,
     if use_pallas:
         from . import pallas_kernels as pk
 
-        resp = pk.harris_response_batch(imgs)
-    else:
-        resp = jax.vmap(harris_response)(imgs)
+        resp, resp_nms = pk.harris_response_batch(imgs)
+        maps = pk.orientation_cell_maps_batch(imgs)
+        return jax.vmap(
+            lambda im, r, rn, mp: detect_and_describe(
+                im, max_kp=max_kp, resp=r, resp_nms=rn, maps=mp)
+        )(imgs, resp, resp_nms, maps)
+    resp = jax.vmap(harris_response)(imgs)
     return jax.vmap(
         lambda im, r: detect_and_describe(im, max_kp=max_kp, resp=r)
     )(imgs, resp)

@@ -225,14 +225,14 @@ def mutual_match_pallas(desc_a, desc_b, valid_a, valid_b, max_dist=1e8,
 # response is written back.
 
 HARRIS_TILE = 112     # output rows per program
-# halo is 3 rows mathematically (sobel r=1 + gaussian r=2) but 4 are
-# DMA'd so the copied row count (TILE + 2*4) stays sublane-aligned (8);
-# the kernel slices the surplus row off after the blur.
-_HHALO = 4
+# halo is 5 rows mathematically (sobel r=1 + gaussian r=2 + NMS r=2) but
+# 8 are DMA'd so the copied row count (TILE + 16 = 128) stays
+# sublane-aligned; the kernel slices the surplus off at the end.
+_HHALO = 8
 _HPAD_C = 8           # zero columns each side: roll wrap containment + SAME
 
 
-def _harris_kernel(img_ref, out_ref, buf, sem, *, k, gw):
+def _harris_kernel(img_ref, out_ref, nms_ref, buf, sem, *, k, gw):
     t = pl.program_id(1)
     f = pl.program_id(0)
     R = HARRIS_TILE + 2 * _HHALO
@@ -269,8 +269,25 @@ def _harris_kernel(img_ref, out_ref, buf, sem, *, k, gw):
     gxy = blur(gx * gy)
     det = gxx * gyy - gxy * gxy
     tr = gxx + gyy
-    resp = det - k * tr * tr             # (TILE + 2, C): one surplus row
-    out_ref[0] = resp[1 : 1 + HARRIS_TILE]   # each side from the 8-aligned DMA
+    resp = det - k * tr * tr             # (TILE + 10, C): 5 surplus/side
+    out_ref[0] = resp[5 : 5 + HARRIS_TILE]
+    # fused 5x5 non-max suppression (features._nms): local max via 5
+    # shifted-row maxima then 5 column rolls — saves the separate XLA
+    # reduce_window pass plus an HBM round-trip of the response
+    Rr = resp.shape[0]
+    rows_m = jnp.maximum(
+        jnp.maximum(jnp.maximum(resp[0 : Rr - 4], resp[1 : Rr - 3]),
+                    jnp.maximum(resp[2 : Rr - 2], resp[3 : Rr - 1])),
+        resp[4:Rr],
+    )                                    # (TILE + 6, C)
+    m = jnp.maximum(
+        jnp.maximum(jnp.maximum(roll(rows_m, -2), roll(rows_m, -1)),
+                    jnp.maximum(roll(rows_m, 1), roll(rows_m, 2))),
+        rows_m,
+    )
+    center = resp[5 : 5 + HARRIS_TILE]
+    keep = center >= m[3 : 3 + HARRIS_TILE]
+    nms_ref[0] = jnp.where(keep, center, -jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -297,13 +314,19 @@ def harris_response_batch(imgs: jnp.ndarray, k: float = 0.05,
     g = np.exp(-0.5 * (xg / sigma) ** 2)
     gw = tuple(float(v) for v in (g / g.sum()))
 
-    out = pl.pallas_call(
+    out, nms = pl.pallas_call(
         functools.partial(_harris_kernel, k=k, gw=gw),
-        out_shape=jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype),
+            jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype),
+        ),
         grid=(F, n_t),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, T, CP), lambda f, t: (f, t, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, T, CP), lambda f, t: (f, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, CP), lambda f, t: (f, t, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((T + 2 * _HHALO, CP), imgs.dtype),
@@ -311,4 +334,120 @@ def harris_response_batch(imgs: jnp.ndarray, k: float = 0.05,
         ],
         interpret=interpret,
     )(canvas)
-    return out[:, :H, _HPAD_C : _HPAD_C + W]
+    sl = (slice(None), slice(0, H), slice(_HPAD_C, _HPAD_C + W))
+    return out[sl], nms[sl]
+
+
+# ---------------------------------------------------------------------------
+# fused orientation-cell maps (descriptor precomputation)
+# ---------------------------------------------------------------------------
+#
+# ops/features.orientation_cell_maps runs ~20 one-channel conv passes
+# (gaussian blur, sobel, then 8 channels x 2 separable box sums) plus an
+# (8, H, W) one-hot intermediate — the same 1-channel-conv shape the TPU
+# compiler handles poorly (see the Harris kernel above). This kernel
+# produces the (8, H, W) cell maps in one VMEM pass per row tile.
+
+ORIENT_TILE = 56      # output rows per program (8 channels resident)
+_OHALO = 8            # blur r=2 + sobel r=1 + box [r-1, r+2]; 8 for alignment
+
+
+def _orient_kernel(img_ref, out_ref, buf, sem, *, gw):
+    t = pl.program_id(1)
+    f = pl.program_id(0)
+    T = ORIENT_TILE
+    R = T + 2 * _OHALO
+    dma = pltpu.make_async_copy(
+        img_ref.at[f, pl.ds(t * T, R), :], buf, sem
+    )
+    dma.start()
+    dma.wait()
+    x = buf[:]                                    # (R, C)
+
+    def roll(z, s):
+        if s == 0:
+            return z
+        return pltpu.roll(z, (-s) % z.shape[1], 1)
+
+    # gaussian blur sigma=1.0 r=2, separable
+    def blur5(z):
+        Rz = z.shape[0]
+        rows = (gw[0] * z[0 : Rz - 4] + gw[1] * z[1 : Rz - 3]
+                + gw[2] * z[2 : Rz - 2] + gw[3] * z[3 : Rz - 1]
+                + gw[4] * z[4:Rz])
+        return (gw[0] * roll(rows, -2) + gw[1] * roll(rows, -1)
+                + gw[2] * rows + gw[3] * roll(rows, 1)
+                + gw[4] * roll(rows, 2))
+
+    b = blur5(x)                                   # (R-4, C), buf row +2
+    Rb = b.shape[0]
+    # sobel
+    sr = b[0 : Rb - 2] + 2.0 * b[1 : Rb - 1] + b[2:Rb]
+    gx = (roll(sr, 1) - roll(sr, -1)) * 0.125      # (R-6, C), buf row +3
+    sc = roll(b, 1) + 2.0 * b + roll(b, -1)
+    gy = (sc[2:Rb] - sc[0 : Rb - 2]) * 0.125
+
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+    ang = jnp.arctan2(gy, gx)
+    bin_f = (ang + jnp.float32(jnp.pi)) / jnp.float32(2.0 * jnp.pi) * 8.0
+    b0 = jnp.floor(bin_f)
+    w1 = bin_f - b0
+    w0 = 1.0 - w1
+    b0i = b0.astype(jnp.int32) % 8
+    b1i = (b0i + 1) % 8
+    m0 = mag * w0
+    m1 = mag * w1
+
+    # per-channel: soft-binned magnitude, then 4x4 box sum with XLA SAME
+    # semantics for even kernels (pad_low 1, pad_high 2): rows window
+    # [r-1, r+2], cols the same via rolls.
+    Rg = gx.shape[0]                               # R-6
+    for o in range(8):
+        ch = jnp.where(b0i == o, m0, 0.0) + jnp.where(b1i == o, m1, 0.0)
+        rows = ch[0 : Rg - 3] + ch[1 : Rg - 2] + ch[2 : Rg - 1] + ch[3:Rg]
+        box = (roll(rows, -1) + rows + roll(rows, 1) + roll(rows, 2))
+        # rows index j: ch rows [j, j+3] = buf rows [j+3, j+6] = image rows
+        # [tT + j - 5, tT + j - 2]; output row o_ = image tT + o_ needs the
+        # window [o_-1, o_+2] -> j = o_ + 4
+        out_ref[0, o] = box[4 : 4 + T]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def orientation_cell_maps_batch(imgs: jnp.ndarray,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Batched fused descriptor maps: (F, H, W) -> (F, 8, H, W).
+
+    Matches ops/features.orientation_cell_maps to float32 roundoff in the
+    interior (the <= 5 px border band differs in SAME-padding semantics;
+    the detector's 12 px border exclusion hides it).
+    """
+    import numpy as np
+
+    F, H, W = imgs.shape
+    T = ORIENT_TILE
+    n_t = -(-H // T)
+    Hp = n_t * T
+    CP = 128 * (-(-(W + 2 * _HPAD_C) // 128))
+    canvas = jnp.zeros((F, Hp + 2 * _OHALO, CP), imgs.dtype)
+    canvas = canvas.at[:, _OHALO : _OHALO + H,
+                       _HPAD_C : _HPAD_C + W].set(imgs)
+
+    xg = np.arange(-2, 3, dtype=np.float32)
+    g = np.exp(-0.5 * xg ** 2)     # sigma = 1.0
+    gw = tuple(float(v) for v in (g / g.sum()))
+
+    out = pl.pallas_call(
+        functools.partial(_orient_kernel, gw=gw),
+        out_shape=jax.ShapeDtypeStruct((F, 8, Hp, CP), imgs.dtype),
+        grid=(F, n_t),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, T, CP), lambda f, t: (f, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * _OHALO, CP), imgs.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(canvas)
+    return out[:, :, :H, _HPAD_C : _HPAD_C + W]

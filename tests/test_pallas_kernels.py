@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from slam_tpu.ops import matching, pallas_kernels
+from slam_tpu.ops import features, matching, pallas_kernels
 
 
 def unit_desc(key, n, d=128):
@@ -105,3 +105,35 @@ def test_mutual_match_pallas_matches_jnp():
     inv = np.empty(ka, np.int64)
     inv[np.asarray(perm)] = np.arange(ka)
     assert (o_t == inv).mean() > 0.99
+
+
+def test_pallas_harris_matches_f32_reference():
+    """The fused Harris kernel must match the jnp pipeline run at PINNED
+    f32 precision (the jnp path's default-precision convs are bf16-level
+    on TPU — the kernel is the more accurate of the two)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.random((2, 120, 200)).astype(np.float32))
+    resp, nms = pallas_kernels.harris_response_batch(imgs, interpret=True)
+    with jax.default_matmul_precision("float32"):
+        ref = jax.vmap(features.harris_response)(imgs)
+        nref = jax.vmap(features._nms)(ref)
+    d = np.abs(np.asarray(resp) - np.asarray(ref))[:, 6:-6, 6:-6]
+    assert d.max() < 2e-5, d.max()
+    keep_p = np.isfinite(np.asarray(nms))[:, 12:-12, 12:-12]
+    keep_r = np.isfinite(np.asarray(nref))[:, 12:-12, 12:-12]
+    frac = (keep_p != keep_r).mean()
+    assert frac < 5e-3, frac  # near-tie flips only
+
+
+def test_pallas_orientation_maps_match_f32_reference():
+    import jax
+
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.random((1, 130, 200)).astype(np.float32))
+    maps = pallas_kernels.orientation_cell_maps_batch(imgs, interpret=True)
+    with jax.default_matmul_precision("float32"):
+        ref = jax.vmap(features.orientation_cell_maps)(imgs)
+    d = np.abs(np.asarray(maps) - np.asarray(ref))[:, :, 8:-8, 8:-8]
+    assert d.max() < 1e-4, d.max()
