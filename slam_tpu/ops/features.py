@@ -5,11 +5,13 @@ Replaces the OpenCV C++ detectors/descriptors the reference binds to
 final_project/algorithms/matching.py:19-35) with a batched, static-shape
 pipeline designed for the MXU/VPU:
 
-  * detection:  multi-scale Harris corner response computed with
-    depthwise convolutions (XLA maps these onto the MXU), 3x3 non-max
-    suppression via max-pooling, and a *gridded top-K* selection that
-    returns a fixed number of keypoints per image with a validity mask
-    (static shapes — no data-dependent keypoint counts).
+  * detection:  Harris corner response + 5x5 non-max suppression — on
+    TPU both come fused from one Pallas VMEM pass per row tile
+    (ops/pallas_kernels.harris_response_batch; single-feature XLA convs
+    leave the MXU idle), with a jnp conv fallback elsewhere — then a
+    *gridded top-K* selection that returns a fixed number of keypoints
+    per image with a validity mask (static shapes — no data-dependent
+    keypoint counts).
   * description: a SIFT-style 4x4x8 gradient-orientation-histogram
     descriptor (128-d float) sampled on a 16x16 patch around each keypoint.
     It is computed for ALL keypoints of ALL images in one batched gather +
