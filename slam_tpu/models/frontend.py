@@ -120,11 +120,9 @@ def process_chunk(
             )
         )(imgs)
     elif levels > 1:
-        feats = jax.vmap(
-            lambda im: features.detect_and_describe_multiscale(
-                im, max_kp=K, num_levels=levels
-            )
-        )(imgs)
+        feats = features.detect_and_describe_multiscale_batch(
+            imgs, max_kp=K, num_levels=levels
+        )
     else:
         feats = features.detect_and_describe_batch(imgs, max_kp=K)
     fl = jax.tree.map(lambda x: x[:F], feats)

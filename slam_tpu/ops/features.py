@@ -411,5 +411,78 @@ def detect_and_describe_multiscale(
     }
 
 
+def _multiscale_budgets(max_kp: int, num_levels: int) -> list[int]:
+    """Per-octave keypoint budgets (full resolution keeps half per split,
+    lane-friendly multiples of 128)."""
+    budgets = []
+    remaining = max_kp
+    for lvl in range(num_levels):
+        k = remaining // 2 if lvl < num_levels - 1 else remaining
+        k = max(128, (k // 128) * 128)
+        k = min(k, remaining)
+        budgets.append(k)
+        remaining -= k
+    budgets[0] += remaining
+    return budgets
+
+
+def detect_and_describe_multiscale_batch(
+    imgs: jnp.ndarray,
+    max_kp: int = DEFAULT_MAX_KP,
+    num_levels: int = 2,
+    use_pallas: bool | None = None,
+):
+    """Batched pyramid detection over (F, H, W) images.
+
+    Same contract as vmapping :func:`detect_and_describe_multiscale`, but
+    each octave's Harris response / NMS / orientation maps come from the
+    fused Pallas kernels on TPU (the per-octave conv pipeline has the
+    same 1-channel-conv bottleneck as single-scale detection).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    budgets = _multiscale_budgets(max_kp, num_levels)
+
+    outs = []
+    level_imgs = imgs
+    for lvl, k in enumerate(budgets):
+        border = max(4, 12 >> lvl)
+        factor = float(1 << lvl)
+        if use_pallas:
+            from . import pallas_kernels as pk
+
+            resp, resp_nms = pk.harris_response_batch(level_imgs)
+            maps = pk.orientation_cell_maps_batch(level_imgs)
+
+            def one(im, r, rn, mp, k=k, border=border):
+                det = detect(im, max_kp=k, border=border, resp=r,
+                             resp_nms=rn)
+                desc = describe(im, det["xy"], det["valid"], maps=mp)
+                return det, desc
+
+            det, desc = jax.vmap(one)(level_imgs, resp, resp_nms, maps)
+        else:
+            def one_jnp(im, k=k, border=border):
+                det = detect(im, max_kp=k, border=border)
+                return det, describe(im, det["xy"], det["valid"])
+
+            det, desc = jax.vmap(one_jnp)(level_imgs)
+        F = imgs.shape[0]
+        outs.append({
+            "xy": det["xy"] * factor,
+            "desc": desc,
+            "valid": det["valid"],
+            "resp": det["resp"],
+            "scale": jnp.full((F, k), factor, jnp.float32),
+        })
+        if lvl + 1 < num_levels:
+            level_imgs = jax.vmap(_downsample2)(level_imgs)
+
+    return {
+        key: jnp.concatenate([o[key] for o in outs], axis=1)
+        for key in ("xy", "desc", "valid", "resp", "scale")
+    }
+
+
 # Batched over a stack of images: (B, H, W) -> pytree with leading B.
 detect_and_describe_batched = jax.vmap(detect_and_describe, in_axes=(0,))

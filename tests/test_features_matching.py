@@ -147,3 +147,18 @@ def test_batched_detect_describe():
     feats = features.detect_and_describe_batched(imgs)
     assert feats["xy"].shape == (3, features.DEFAULT_MAX_KP, 2)
     assert feats["desc"].shape == (3, features.DEFAULT_MAX_KP, 128)
+
+
+def test_multiscale_batch_matches_vmapped():
+    """detect_and_describe_multiscale_batch (jnp path) must reproduce the
+    per-image multiscale pipeline exactly — it only restructures the
+    per-octave loop so the fused Pallas kernels can batch each level."""
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.random((2, 128, 256)).astype(np.float32))
+    a = features.detect_and_describe_multiscale_batch(
+        imgs, max_kp=512, num_levels=2, use_pallas=False)
+    b = jax.vmap(lambda im: features.detect_and_describe_multiscale(
+        im, max_kp=512, num_levels=2))(imgs)
+    for k in ("xy", "desc", "valid", "resp", "scale"):
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   atol=1e-6, err_msg=k)
