@@ -36,17 +36,80 @@ from ..config import SlamConfig
 from ..ops import features, matching, ransac, se3, stereo
 
 
+class DescriptorBank:
+    """Device-resident per-frame descriptors with numpy-style indexing.
+
+    Descriptors are by far the largest frontend output (~0.5 MB/frame at
+    K=2048 f16) but only two consumers exist — loop-closure verification
+    and the analysis loop-match probe — and both touch keyframes only.
+    Reading them back to the host for every frame dominated end-to-end
+    wall-clock in the driver environment (round 2: ~0.9 GB per
+    1120-frame segment over a ~10 MB/s device->host link, frontend at
+    1.3 fps vs ~96 fps compute). The bank keeps the per-chunk device
+    arrays and serves gathers on demand; descriptors cross to the host
+    only if ``numpy()`` is explicitly called.
+
+    Chunks resumed from a descriptor-less checkpoint are ``None`` and are
+    recomputed on first access from the stored images (detection is
+    deterministic, so recomputed descriptors are identical to the
+    originals computed on the same backend).
+    """
+
+    def __init__(self, chunks: list, recompute_fn=None):
+        # chunks: list of (start, n, array_or_None); arrays are (n, K, D)
+        self._chunks = list(chunks)
+        self._recompute = recompute_fn
+        self._stacked = None
+
+    def _ensure(self):
+        if self._stacked is None:
+            parts = []
+            for start, n, arr in self._chunks:
+                if arr is None:
+                    if self._recompute is None:
+                        raise RuntimeError(
+                            "descriptor chunk missing and no recompute "
+                            "source (images) available"
+                        )
+                    arr = self._recompute(start, n)
+                parts.append(jnp.asarray(arr))
+            self._stacked = jnp.concatenate(parts, axis=0)
+            self._chunks = None  # free the per-chunk buffers
+        return self._stacked
+
+    def __getitem__(self, idx):
+        return self._ensure()[idx]
+
+    def __len__(self):
+        return int(self.shape[0])
+
+    @property
+    def shape(self):
+        if self._stacked is not None:
+            return tuple(self._stacked.shape)
+        total = sum(n for _, n, _ in self._chunks)
+        for _, n, arr in self._chunks:
+            if arr is not None:
+                return (total,) + tuple(arr.shape[1:])
+        return (total,)
+
+    def numpy(self) -> np.ndarray:
+        """Full host materialization (device->host transfer of everything
+        — only for explicit export paths, never the pipeline)."""
+        return np.asarray(self._ensure())
+
+
 @dataclass
 class FrontendResult:
     """Host-side SoA output of the frontend over a full sequence.
 
     Everything is fixed-width per frame (K = max_kp slots, masked), the
     tensorized replacement for the reference's per-frame kp/desc/link
-    objects.
+    objects — except ``desc``, which stays on device (DescriptorBank).
     """
 
     xy: np.ndarray            # (F, K, 2) left-image keypoints
-    desc: np.ndarray          # (F, K, D) descriptors (bf16->f32 on host)
+    desc: "DescriptorBank"    # (F, K, D) descriptors, device-resident f16
     valid: np.ndarray         # (F, K) keypoint-slot validity
     links: np.ndarray         # (F, K, 3) stereo links (xl, xr, y)
     link_valid: np.ndarray    # (F, K) stereo-gated validity
@@ -87,6 +150,38 @@ def _pair_correspondences(prev_links, prev_link_valid, cur_links,
     return pw, meas, valid
 
 
+def _detect_describe(imgs: jnp.ndarray, cfg: SlamConfig):
+    """The frontend's detection+description branch for a batch of images
+    (left/right-agnostic; per-image deterministic, so recomputing a frame's
+    descriptors later yields bit-identical results on the same backend)."""
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
+    K = cfg.features.max_kp
+    levels = cfg.features.num_levels
+    if cfg.features.detector == "akaze":
+        from ..ops import akaze
+
+        return jax.vmap(
+            lambda im: akaze.detect_and_describe_akaze(
+                im, max_kp=K, octaves=max(levels, 2),
+                threshold=cfg.features.akaze_threshold,
+            )
+        )(imgs)
+    if levels > 1:
+        return features.detect_and_describe_multiscale_batch(
+            imgs, max_kp=K, num_levels=levels
+        )
+    return features.detect_and_describe_batch(imgs, max_kp=K)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def recompute_descriptors(imgs: jnp.ndarray, cfg: SlamConfig) -> jnp.ndarray:
+    """Left-image descriptors of a frame batch, identical to what
+    process_chunk produced for those frames (used by DescriptorBank to
+    restore descriptor chunks dropped from checkpoints)."""
+    return _detect_describe(imgs, cfg)["desc"].astype(jnp.float16)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def process_chunk(
     chunk_left: jnp.ndarray,    # (F, H, W) float32 left images
@@ -104,27 +199,10 @@ def process_chunk(
     K = cfg.features.max_kp
 
     # --- detection + description, all 2F images at once -------------------
+    # (images may arrive as uint8 to quarter the host->device transfer; the
+    # [0,1] float conversion happens on device inside _detect_describe)
     imgs = jnp.concatenate([chunk_left, chunk_right], axis=0)
-    # images may arrive as uint8 to quarter the host->device transfer; the
-    # [0,1] float conversion happens on device
-    if imgs.dtype == jnp.uint8:
-        imgs = imgs.astype(jnp.float32) * (1.0 / 255.0)
-    levels = cfg.features.num_levels
-    if cfg.features.detector == "akaze":
-        from ..ops import akaze
-
-        feats = jax.vmap(
-            lambda im: akaze.detect_and_describe_akaze(
-                im, max_kp=K, octaves=max(levels, 2),
-                threshold=cfg.features.akaze_threshold,
-            )
-        )(imgs)
-    elif levels > 1:
-        feats = features.detect_and_describe_multiscale_batch(
-            imgs, max_kp=K, num_levels=levels
-        )
-    else:
-        feats = features.detect_and_describe_batch(imgs, max_kp=K)
+    feats = _detect_describe(imgs, cfg)
     fl = jax.tree.map(lambda x: x[:F], feats)
     fr = jax.tree.map(lambda x: x[F:], feats)
 
@@ -243,8 +321,10 @@ def process_chunk(
     num_corr = jnp.sum(corr_valid, axis=-1)
     out = {
         "xy": fl["xy"],
-        # f16 halves the device->host readback; descriptors live in
-        # [0, 0.2] so the precision loss is far below matching noise
+        # f16 halves HBM residency; descriptors live in [0, 0.2] so the
+        # precision loss is far below matching noise. The host orchestrator
+        # pops this entry off before readback (DescriptorBank keeps it on
+        # device) — it is only materialized for keyframe gathers.
         "desc": desc.astype(jnp.float16),
         "valid": valid,
         "links": links,
@@ -269,8 +349,11 @@ def process_chunk(
     return out, new_carry
 
 
+# Descriptors are deliberately NOT checkpointed: at ~0.5 MB/frame they were
+# ~90% of checkpoint readback+disk cost, and DescriptorBank recomputes any
+# missing chunk deterministically from the images on resume.
 _CKPT_KEYS = (
-    "xy", "desc", "valid", "links", "link_valid", "match_prev", "match_dist",
+    "xy", "valid", "links", "link_valid", "match_prev", "match_dist",
     "inlier_prev", "T_rel", "num_inliers", "inlier_frac", "pose_ok",
 )
 
@@ -278,6 +361,18 @@ _CKPT_KEYS = (
 def _seg_path(path, k: int) -> Path:
     p = Path(path)
     return p.with_name(p.stem + f".seg{k:04d}" + p.suffix)
+
+
+def _atomic_savez(path, **arrs) -> None:
+    """savez_compressed with an atomic replace: a crash mid-write must not
+    leave a truncated npz at ``path`` (the meta file is the resume root —
+    corrupting it forfeits every previously written segment)."""
+    import os
+
+    # a .npz-suffixed temp name keeps numpy from appending its own suffix
+    tmp = Path(path).with_name(Path(path).name + ".tmp.npz")
+    np.savez_compressed(str(tmp), **arrs)
+    os.replace(str(tmp), str(path))
 
 
 def _save_checkpoint(path, seg_outs, seg_T_w2c, carry, T_carry, next_start,
@@ -304,7 +399,7 @@ def _save_checkpoint(path, seg_outs, seg_T_w2c, carry, T_carry, next_start,
     }
     for k, v in (carry or {}).items():
         meta[f"carry_{k}"] = np.asarray(v)
-    np.savez_compressed(str(path), **meta)
+    _atomic_savez(path, **meta)
 
 
 def load_frontend_checkpoint(path):
@@ -320,7 +415,10 @@ def load_frontend_checkpoint(path):
         outs, T_list = [], []
         for k in range(int(z["num_segments"])):
             s = np.load(str(_seg_path(path, k)))
-            outs.append({key: s[key] for key in _CKPT_KEYS + ("T_chain",)})
+            out = {key: s[key] for key in _CKPT_KEYS + ("T_chain",)}
+            if "desc" in s.files:  # pre-bank checkpoints stored descriptors
+                out["desc"] = s["desc"]
+            outs.append(out)
             T_list.append(s["T_w2c"])
         return outs, T_list, carry, z["T_carry"], int(z["next_start"])
     # legacy monolithic checkpoint (written before the per-segment layout)
@@ -331,6 +429,8 @@ def load_frontend_checkpoint(path):
             f"(missing arrays: {missing}); delete it to recompute"
         )
     out = {k: z[k] for k in _CKPT_KEYS + ("T_chain",)}
+    if "desc" in z.files:
+        out["desc"] = z["desc"]
     return [out], [z["T_w2c"]], carry, z["T_carry"], int(z["next_start"])
 
 
@@ -392,7 +492,18 @@ def run_frontend(
             br = np.concatenate([br, np.zeros((pad,) + br.shape[1:], dtype)])
         return bl, br, n
 
+    def _recompute_desc(start, n):
+        # restore a descriptor chunk dropped from a checkpoint: pad to the
+        # configured chunk size so every restore reuses one compiled shape
+        bl = np.asarray(images_left[start : start + n], dtype)
+        if n < chunk:
+            bl = np.concatenate(
+                [bl, np.zeros((chunk - n,) + bl.shape[1:], dtype)]
+            )
+        return recompute_descriptors(jnp.asarray(bl), cfg)[:n]
+
     outs = []
+    desc_chunks: list = []  # (start, n, device array | host array | None)
     carry = None
     T_carry = np.eye(4, dtype=np.float32)
     T_w2c_all = []
@@ -406,6 +517,11 @@ def run_frontend(
             load_frontend_checkpoint(checkpoint_path)
         )
         seg_idx = len(outs)
+        pos = 0
+        for o in outs:
+            n_o = o["xy"].shape[0]
+            desc_chunks.append((pos, n_o, o.pop("desc", None)))
+            pos += n_o
     starts = list(range(first_start, F, chunk))
     if legacy_ckpt and starts:
         # more chunks will be appended: migrate the monolithic file to the
@@ -413,7 +529,8 @@ def run_frontend(
         _convert_legacy_checkpoint(checkpoint_path, outs, T_w2c_all, carry,
                                    T_carry, first_start)
     if not starts:  # checkpoint already covers the whole sequence
-        return _assemble_result(outs, T_w2c_all)
+        return _assemble_result(outs, T_w2c_all, desc_chunks,
+                                _recompute_desc)
     last_ckpt = first_start
     seg_outs: list = []
     seg_T: list = []
@@ -431,6 +548,9 @@ def run_frontend(
             )
         sub = jax.random.fold_in(base_key, start // chunk)
         out, carry = process_chunk(block_l, block_r, carry, calib, sub, cfg)
+        # descriptors never cross to the host (round-2 lesson: at
+        # ~0.5 MB/frame their readback dominated end-to-end wall-clock)
+        desc_chunks.append((start, n, out.pop("desc")[:n]))
         out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
         # stitch global chain across chunks
         T_w2c = out["T_chain"] @ T_carry[None]
@@ -451,10 +571,20 @@ def run_frontend(
     if checkpoint_path and seg_outs:
         _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry, T_carry, F,
                          seg_idx)
-    return _assemble_result(outs, T_w2c_all)
+    return _assemble_result(outs, T_w2c_all, desc_chunks, _recompute_desc)
 
 
-def _assemble_result(outs, T_w2c_all) -> FrontendResult:
+def _assemble_result(outs, T_w2c_all, desc_chunks=None,
+                     recompute_fn=None) -> FrontendResult:
+    if desc_chunks is None:
+        # callers that still carry per-chunk "desc" arrays inside `outs`
+        # (sharded / pipelined frontends): wrap them as bank chunks
+        desc_chunks = []
+        pos = 0
+        for o in outs:
+            n_o = o["xy"].shape[0]
+            desc_chunks.append((pos, n_o, o.pop("desc", None)))
+            pos += n_o
     cat = lambda k: np.concatenate([o[k] for o in outs], axis=0)
     T_w2c = np.concatenate(T_w2c_all, axis=0)
     # frame 0 has no previous: force identity relative pose
@@ -462,7 +592,7 @@ def _assemble_result(outs, T_w2c_all) -> FrontendResult:
     T_rel[0] = np.eye(4, dtype=T_rel.dtype)
     return FrontendResult(
         xy=cat("xy"),
-        desc=cat("desc"),
+        desc=DescriptorBank(desc_chunks, recompute_fn),
         valid=cat("valid"),
         links=cat("links"),
         link_valid=cat("link_valid"),

@@ -104,7 +104,13 @@ def run_frontend_pipelined(
 
 
 def _materialize(out, n):
-    return jax.tree.map(lambda x: np.asarray(x[:n]), out)
+    # "desc" stays a device array (DescriptorBank chunk — see
+    # models/frontend.py); everything else crosses to the host
+    out = dict(out)
+    out["desc"] = out["desc"][:n]
+    return {
+        k: (v if k == "desc" else np.asarray(v[:n])) for k, v in out.items()
+    }
 
 
 def run_multi_sequence(

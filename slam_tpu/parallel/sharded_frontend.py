@@ -100,7 +100,9 @@ def run_frontend_sharded(
         else:
             out, carry = step_carry(jnp.asarray(bl), jnp.asarray(br), carry,
                                     sub)
+        desc_dev = out.pop("desc")[:n]  # device-resident (DescriptorBank)
         out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
+        out["desc"] = desc_dev
         T = out["T_chain"] @ T_carry[None]
         T_carry = T[-1]
         T_w2c_all.append(T)

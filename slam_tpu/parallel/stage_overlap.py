@@ -184,7 +184,9 @@ def run_pipeline_overlapped(
         else:
             out, carry = step_carry(jnp.asarray(bl), jnp.asarray(br), carry,
                                     sub)
+        desc_dev = out.pop("desc")[:n]  # device-resident (DescriptorBank)
         out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
+        out["desc"] = desc_dev
         T = out["T_chain"] @ T_carry[None]
         T_carry = T[-1]
         T_all[start : start + n] = T
