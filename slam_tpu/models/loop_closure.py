@@ -385,3 +385,39 @@ def find_loops(
         commit_from_back(deferred)
 
     return closures
+
+
+def save_closures(closures: list, path) -> None:
+    """Closure list as one npz (the reference pickles the whole loop-closed
+    pose graph, project.py:84-91; here closures are their own artifact so
+    the driver can reload them without re-verifying)."""
+    np.savez_compressed(
+        str(path),
+        kf_i=np.asarray([c.kf_i for c in closures], np.int32),
+        kf_j=np.asarray([c.kf_j for c in closures], np.int32),
+        frame_i=np.asarray([c.frame_i for c in closures], np.int32),
+        frame_j=np.asarray([c.frame_j for c in closures], np.int32),
+        num_inliers=np.asarray([c.num_inliers for c in closures], np.int32),
+        inlier_frac=np.asarray([c.inlier_frac for c in closures], np.float32),
+        rel_T=np.stack([c.rel_T for c in closures]) if closures
+        else np.zeros((0, 4, 4), np.float32),
+        rel_cov=np.stack([c.rel_cov for c in closures]) if closures
+        else np.zeros((0, 6, 6), np.float32),
+        mahalanobis=np.asarray([c.mahalanobis for c in closures],
+                               np.float32),
+    )
+
+
+def load_closures(path) -> list:
+    with np.load(str(path)) as z:
+        return [
+            Closure(
+                kf_i=int(z["kf_i"][i]), kf_j=int(z["kf_j"][i]),
+                frame_i=int(z["frame_i"][i]), frame_j=int(z["frame_j"][i]),
+                num_inliers=int(z["num_inliers"][i]),
+                inlier_frac=float(z["inlier_frac"][i]),
+                rel_T=z["rel_T"][i], rel_cov=z["rel_cov"][i],
+                mahalanobis=float(z["mahalanobis"][i]),
+            )
+            for i in range(len(z["kf_i"]))
+        ]

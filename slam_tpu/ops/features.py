@@ -155,7 +155,15 @@ def select_keypoints(
     H, W = resp.shape
     resp_raw = resp
     # the fused Pallas detector emits the suppressed map alongside the raw
-    # response; recompute only when it wasn't supplied
+    # response; recompute only when it wasn't supplied. Its boundary
+    # semantics (zero-padded response inside the suppression window)
+    # differ from _nms (-inf padding) within 2 px of the image edge, so a
+    # supplied map is only interchangeable behind a border of >= 4 px.
+    if resp_nms is not None and border < 4:
+        raise ValueError(
+            f"border={border} < 4 with a precomputed resp_nms: the fused "
+            "NMS map's edge semantics differ from _nms inside 4 px"
+        )
     resp = _nms(resp) if resp_nms is None else resp_nms
 
     # border + validity mask
@@ -378,16 +386,7 @@ def detect_and_describe_multiscale(
     Returns the same dict contract as :func:`detect_and_describe`, plus
     ``scale`` (the octave factor per keypoint).
     """
-    budgets = []
-    remaining = max_kp
-    for lvl in range(num_levels):
-        k = remaining // 2 if lvl < num_levels - 1 else remaining
-        # keep budgets lane-friendly
-        k = max(128, (k // 128) * 128)
-        k = min(k, remaining)
-        budgets.append(k)
-        remaining -= k
-    budgets[0] += remaining  # leftover back to the finest level
+    budgets = _multiscale_budgets(max_kp, num_levels)
 
     outs = []
     level_img = img
@@ -446,7 +445,11 @@ def detect_and_describe_multiscale_batch(
     outs = []
     level_imgs = imgs
     for lvl, k in enumerate(budgets):
-        border = max(4, 12 >> lvl)
+        # Pallas path: keep every descriptor sample (cell centers at
+        # +/-6 px) out of the <=5 px border band where the fused maps'
+        # SAME-padding semantics differ from the jnp fallback — border 12
+        # at every octave guarantees cross-backend descriptor parity.
+        border = 12 if use_pallas else max(4, 12 >> lvl)
         factor = float(1 << lvl)
         if use_pallas:
             from . import pallas_kernels as pk

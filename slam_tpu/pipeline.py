@@ -94,8 +94,33 @@ def run_pipeline(
         return out
 
     cache = Path(cache_dir) if cache_dir else None
+    # Stage-load semantics of the reference driver (project.py:29-91: each
+    # of DB / bundles / pose-graph / LC pose-graph is loaded from disk
+    # instead of recomputed when its artifact exists). A stage artifact is
+    # reused only while every upstream stage was also reused AND the cached
+    # config matches — a changed config or a recomputed upstream stage
+    # invalidates everything downstream.
+    reuse = False
     if cache:
         cache.mkdir(parents=True, exist_ok=True)
+        cfg_file = cache / "config.json"
+        reuse = cfg_file.exists() and cfg_file.read_text() == cfg.to_json()
+        if not reuse:
+            cfg.save(cfg_file)
+
+    def stage(name, artifact, compute, load, save):
+        """Load ``artifact`` if the reuse chain holds, else compute+save.
+        Breaks the chain (nonlocal reuse) on recompute."""
+        nonlocal reuse
+        if cache and reuse and (cache / artifact).exists():
+            out = timed(name, lambda: load(cache / artifact))
+            log(f"[pipeline] {name}: loaded from cache")
+            return out
+        reuse = False
+        out = timed(name, compute)
+        if cache:
+            save(out, cache / artifact)
+        return out
 
     # stages 1-3: frontend + track store + bundles
     if overlap and mesh is not None:
@@ -104,6 +129,7 @@ def run_pipeline(
         # genuinely run concurrently
         from .parallel.stage_overlap import run_pipeline_overlapped
 
+        reuse = False
         fe, db, bundles = timed("frontend+bundles_overlapped",
                                 lambda: run_pipeline_overlapped(
                                     images_left, images_right, calib, cfg,
@@ -114,17 +140,28 @@ def run_pipeline(
         if mesh is not None:
             from .parallel.sharded_frontend import run_frontend_sharded
 
+            reuse = False
             fe = timed("frontend", lambda: run_frontend_sharded(
                 images_left, images_right, calib, mesh, cfg))
         else:
+            # the frontend reuses its own incremental checkpoint (exact
+            # resume, bit-identical to an uninterrupted run) — a complete
+            # checkpoint makes this stage a pure load on reruns
             fe = timed("frontend", lambda: frontend_mod.run_frontend(
-                images_left, images_right, calib, cfg))
-        db = timed("trackstore", lambda: TrackStore.from_frontend(fe))
-        if cache:
-            db.save(cache / "trackstore.npz")
+                images_left, images_right, calib, cfg,
+                checkpoint_path=(
+                    str(cache / "frontend_ckpt.npz") if cache else None),
+                resume=bool(cache and reuse)))
+        db = stage(
+            "trackstore", "trackstore.npz",
+            lambda: TrackStore.from_frontend(fe),
+            TrackStore.load, lambda o, p: o.save(p))
 
-        bundles = timed("bundles", lambda: bundle_mod.run_bundles(
-            db, fe.T_w2c, calib, cfg, mesh=mesh))
+        bundles = stage(
+            "bundles", "bundles.npz",
+            lambda: bundle_mod.run_bundles(db, fe.T_w2c, calib, cfg,
+                                           mesh=mesh),
+            bundle_mod.load_bundles, bundle_mod.save_bundles)
 
     # stage 4: pose graph
     def _pg():
@@ -132,20 +169,30 @@ def run_pipeline(
         g.optimize()
         return g
 
-    pg = timed("pose_graph", _pg)
-    if cache:
-        pg.save(cache / "pose_graph.npz")
-    pg_pre = PoseGraph.load(cache / "pose_graph.npz") if cache else _copy_pg(pg)
+    pg = stage("pose_graph", "pose_graph.npz", _pg,
+               PoseGraph.load, lambda o, p: o.save(p))
+    pg_pre = _copy_pg(pg)
 
     # stage 5: loop closure
     closures = []
     if run_loop_closure:
-        closures = timed("loop_closure", lambda: lc_mod.find_loops(
-            pg, db, fe.desc, fe.valid, calib, cfg))
+        lc_file = cache / "pose_graph_lc.npz" if cache else None
+        cl_file = cache / "closures.npz" if cache else None
+        if cache and reuse and lc_file.exists() and cl_file.exists():
+            t0 = time.perf_counter()
+            pg = PoseGraph.load(lc_file)
+            closures = lc_mod.load_closures(cl_file)
+            timings["loop_closure"] = time.perf_counter() - t0
+            log(f"[pipeline] loop_closure: loaded from cache "
+                f"({timings['loop_closure']:.2f}s)")
+        else:
+            closures = timed("loop_closure", lambda: lc_mod.find_loops(
+                pg, db, fe.desc, fe.valid, calib, cfg))
+            if cache:
+                pg.save(lc_file)
+                lc_mod.save_closures(closures, cl_file)
         log(f"[pipeline] {len(closures)} loop closures: "
             f"{[(c.frame_i, c.frame_j, c.num_inliers) for c in closures]}")
-        if cache:
-            pg.save(cache / "pose_graph_lc.npz")
 
     return PipelineResult(
         frontend=fe, db=db, bundles=bundles,

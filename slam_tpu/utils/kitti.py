@@ -194,9 +194,9 @@ def load_sequence(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
     """(left (F,H,W), right, calib_vector, T_gt or None).
 
-    With ``bucket_hw`` the images are zero-padded bottom/right to the
-    bucket shape so differently-sized sequences share compiled kernels
-    (see bucket_for)."""
+    With ``bucket_hw`` the images are edge-replicate-padded bottom/right
+    to the bucket shape (see pad_to_bucket for why not zeros) so
+    differently-sized sequences share compiled kernels (see bucket_for)."""
     F = num_frames(paths)
     if limit is not None:
         F = min(F, limit)
