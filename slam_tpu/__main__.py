@@ -40,6 +40,9 @@ def main(argv=None) -> int:
                    help="SlamConfig JSON (see slam_tpu/config.py)")
     p.add_argument("--no-loop-closure", action="store_true")
     p.add_argument("--no-analysis", action="store_true")
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="load KITTI images eagerly into memory instead of "
+                        "streaming them through the native C++ prefetcher")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the image's site config "
                         "pins jax_platforms to the accelerator)")
@@ -75,32 +78,54 @@ def main(argv=None) -> int:
             p.error("--kitti-root or --synthetic is required")
         from .utils import kitti
 
+        prefetch = not args.no_prefetch
         for s in args.seq:
             paths = kitti.KittiPaths(root=args.kitti_root, sequence=s)
             if not paths.exists():
                 print(f"[slam_tpu] sequence {s} not found under "
                       f"{args.kitti_root}, skipping")
                 continue
-            L, R, calib, gt = kitti.load_sequence(paths, limit=args.limit)
-            sequences[s] = (L, R, calib, gt)
+            calib = kitti.calib_vector(paths)
+            gt = (kitti.read_ground_truth(paths)
+                  if paths.poses_file.is_file() else None)
+            if prefetch:
+                # disk-streaming mode: the frontend consumes the PNGs
+                # through the native prefetcher (decode threads overlap
+                # device compute); images never fully materialize on host
+                lp = sorted(paths.left_dir.glob("*.png"))[: args.limit]
+                rp = sorted(paths.right_dir.glob("*.png"))[: args.limit]
+                if gt is not None:
+                    gt = gt[: len(lp)]
+                sequences[s] = (lp, rp, calib, gt)
+            else:
+                L, R, _, gt = kitti.load_sequence(paths, limit=args.limit)
+                sequences[s] = (L, R, calib, gt)
 
     if not sequences:
         print("[slam_tpu] nothing to run")
         return 1
 
-    if len(sequences) > 1:
-        # KITTI resolutions differ across sequences; pad to one shared
-        # bucket so the whole batch reuses the same compiled kernels
+    # KITTI resolutions differ across sequences; pad to one shared bucket
+    # so the whole batch reuses the same compiled kernels
+    image_hw = None
+    if not args.synthetic:
         from .utils import kitti as kitti_mod
 
-        bucket = kitti_mod.bucket_for(
-            [v[0].shape[1:] for v in sequences.values()]
+        def seq_hw(v):
+            L = v[0]
+            if isinstance(L, list):  # path mode: decode one header
+                return kitti_mod._imread_gray(L[0]).shape
+            return L.shape[1:]
+
+        image_hw = kitti_mod.bucket_for(
+            [seq_hw(v) for v in sequences.values()]
         )
-        print(f"[slam_tpu] padding {len(sequences)} sequences to shared "
-              f"bucket {bucket}")
+        print(f"[slam_tpu] image bucket {image_hw} across "
+              f"{len(sequences)} sequence(s)")
         sequences = {
-            k: (kitti_mod.pad_to_bucket(L, bucket),
-                kitti_mod.pad_to_bucket(R, bucket), c, g)
+            k: ((L, R, c, g) if isinstance(L, list)
+                else (kitti_mod.pad_to_bucket(L, image_hw),
+                      kitti_mod.pad_to_bucket(R, image_hw), c, g))
             for k, (L, R, c, g) in sequences.items()
         }
 
@@ -111,12 +136,14 @@ def main(argv=None) -> int:
         res = pipeline.run_pipeline(
             L, R, calib, cfg, cache_dir=out_dir / "cache",
             run_loop_closure=not args.no_loop_closure, verbose=True,
+            image_hw=image_hw,
         )
         if gt is not None:
             rep = pipeline.evaluate(res, np.asarray(gt))
             if not args.no_analysis:
                 rep["analysis"] = analysis.run_analysis(
-                    res, np.asarray(gt), out_dir / "graphs", images_left=L
+                    res, np.asarray(gt), out_dir / "graphs",
+                    images_left=None if isinstance(L, list) else L,
                 )
         else:
             rep = {"timings_s": res.timings, "db_stats": res.db.stats(),

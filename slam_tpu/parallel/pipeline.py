@@ -34,45 +34,99 @@ def run_frontend_pipelined(
     calib,
     cfg: SlamConfig = SlamConfig(),
     n_io_threads: int = 3,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 500,
+    resume: bool = False,
 ):
     """Frontend over on-disk PNG sequences with the native prefetcher.
 
-    Falls back to eager loading (utils.kitti.read_batch style) when the
-    native runtime is unavailable.
+    The streaming twin of models/frontend.run_frontend: same chunking, same
+    position-based key stream, same incremental checkpoint format (so the
+    two are resume-compatible), but images come from C++ decode threads that
+    run ahead of device compute, and images smaller than ``hw`` are
+    edge-replicate-padded to it (multi-resolution bucket semantics). Falls
+    back to eager host decoding when the native runtime is unavailable.
     """
     from .. import runtime
+    from ..models.frontend import (
+        _convert_legacy_checkpoint, _save_checkpoint, _assemble_result,
+        load_frontend_checkpoint, recompute_descriptors,
+    )
 
     F = len(left_paths)
     chunk = cfg.runtime.chunk_frames
     calib_j = jnp.asarray(calib, jnp.float32)
     # position-based keys, identical to models/frontend.run_frontend
     base_key = jax.random.PRNGKey(cfg.seed)
+    native = runtime._load()
 
-    if runtime._load():
+    def _decode_one(p) -> np.ndarray:
+        if native:
+            return runtime.load_png_gray_padded(p, hw)
+        from ..utils.kitti import _imread_gray, pad_to_bucket
+
+        img = _imread_gray(Path(p)).astype(np.float32) / 255.0
+        return pad_to_bucket(img[None], hw)[0]
+
+    def _decode_block(start, count):
+        L = np.zeros((chunk, hw[0], hw[1]), np.float32)
+        R = np.zeros((chunk, hw[0], hw[1]), np.float32)
+        for i in range(count):
+            L[i] = _decode_one(left_paths[start + i])
+            R[i] = _decode_one(right_paths[start + i])
+        return L, R
+
+    def _recompute_desc(start, n):
+        # restore a descriptor chunk dropped from a checkpoint, straight
+        # from the on-disk PNGs (keyframe gathers only — see DescriptorBank)
+        L, _ = _decode_block(start, n)
+        return recompute_descriptors(jnp.asarray(L), cfg)[:n]
+
+    outs: list = []
+    desc_chunks: list = []  # (start, n, device array | host array | None)
+    T_w2c_all: list = []
+    carry = None
+    T_carry = np.eye(4, dtype=np.float32)
+    first_start, seg_idx = 0, 0
+    legacy_ckpt = False
+    if resume and checkpoint_path and Path(checkpoint_path).exists():
+        with np.load(str(checkpoint_path)) as _z:
+            legacy_ckpt = "num_segments" not in _z.files
+        outs, T_w2c_all, carry, T_carry, first_start = (
+            load_frontend_checkpoint(checkpoint_path)
+        )
+        seg_idx = len(outs)
+        pos = 0
+        for o in outs:
+            n_o = o["xy"].shape[0]
+            desc_chunks.append((pos, n_o, o.pop("desc", None)))
+            pos += n_o
+    if first_start >= F:  # checkpoint covers the whole sequence: pure load
+        return _assemble_result(outs, T_w2c_all, desc_chunks, _recompute_desc)
+    if legacy_ckpt:
+        _convert_legacy_checkpoint(checkpoint_path, outs, T_w2c_all, carry,
+                                   T_carry, first_start)
+
+    if native:
         loader = runtime.StereoPrefetcher(
-            left_paths, right_paths, hw[0], hw[1], chunk, n_io_threads
+            [str(p) for p in left_paths[first_start:]],
+            [str(p) for p in right_paths[first_start:]],
+            hw[0], hw[1], chunk, n_io_threads,
         )
         blocks = iter(loader)
     else:  # pragma: no cover - exercised only without a toolchain
         def _eager():
-            for s in range(0, F, chunk):
+            for s in range(first_start, F, chunk):
                 n = min(chunk, F - s)
-                L = np.zeros((chunk, hw[0], hw[1]), np.float32)
-                R = np.zeros((chunk, hw[0], hw[1]), np.float32)
-                from ..utils.kitti import _imread_gray
-
-                for i in range(n):
-                    L[i] = _imread_gray(left_paths[s + i]) / 255.0
-                    R[i] = _imread_gray(right_paths[s + i]) / 255.0
+                L, R = _decode_block(s, n)
                 yield L[:n], R[:n]
 
         blocks = _eager()
 
-    outs = []
-    T_w2c_all = []
-    T_carry = np.eye(4, dtype=np.float32)
-    carry = None
-    pending = None  # (out, n) whose host readback is deferred one step
+    seg_outs: list = []
+    seg_T: list = []
+    last_ckpt = first_start
+    pending = None  # (out, start, n, carry_after) deferred one chunk
 
     def pad(x, n):
         if n == chunk:
@@ -81,36 +135,48 @@ def run_frontend_pipelined(
             [x, np.zeros((chunk - n,) + x.shape[1:], x.dtype)]
         )
 
+    def _materialize(out, start, n, carry_after):
+        """Host readback of one chunk + chain stitch + checkpoint cadence.
+        ``carry_after`` is the device carry as of this chunk's end — the
+        checkpoint must snapshot that, not the (one-ahead) live carry."""
+        nonlocal T_carry, last_ckpt, seg_idx, seg_outs, seg_T
+        out = dict(out)
+        # descriptors never cross to the host (DescriptorBank chunk)
+        desc_chunks.append((start, n, out.pop("desc")[:n]))
+        o = {k: np.asarray(v[:n]) for k, v in out.items()}
+        T = o["T_chain"] @ T_carry[None]
+        T_carry = T[-1]
+        T_w2c_all.append(T)
+        outs.append(o)
+        seg_outs.append(o)
+        seg_T.append(T)
+        done = start + n
+        if checkpoint_path and done - last_ckpt >= checkpoint_every:
+            _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry_after,
+                             T_carry, done, seg_idx)
+            last_ckpt = done
+            seg_idx += 1
+            seg_outs, seg_T = [], []
+
     for ci, (L, R) in enumerate(blocks):
         n = L.shape[0]
+        start = first_start + ci * chunk
         Lj = jax.device_put(pad(L, n))
         Rj = jax.device_put(pad(R, n))
-        sub = jax.random.fold_in(base_key, ci)
+        sub = jax.random.fold_in(base_key, start // chunk)
         out, carry = frontend_mod.process_chunk(Lj, Rj, carry, calib_j, sub,
                                                 cfg)
         # defer materialization by one chunk: the loader decodes the next
         # block while the device crunches this one
         if pending is not None:
-            outs.append(_materialize(pending[0], pending[1]))
-        pending = (out, n)
+            _materialize(*pending)
+        pending = (out, start, n, carry)
     if pending is not None:
-        outs.append(_materialize(pending[0], pending[1]))
-
-    for o in outs:
-        T = o["T_chain"] @ T_carry[None]
-        T_carry = T[-1]
-        T_w2c_all.append(T)
-    return frontend_mod._assemble_result(outs, T_w2c_all)
-
-
-def _materialize(out, n):
-    # "desc" stays a device array (DescriptorBank chunk — see
-    # models/frontend.py); everything else crosses to the host
-    out = dict(out)
-    out["desc"] = out["desc"][:n]
-    return {
-        k: (v if k == "desc" else np.asarray(v[:n])) for k, v in out.items()
-    }
+        _materialize(*pending)
+    if checkpoint_path and seg_outs:
+        _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry, T_carry, F,
+                         seg_idx)
+    return _assemble_result(outs, T_w2c_all, desc_chunks, _recompute_desc)
 
 
 def run_multi_sequence(

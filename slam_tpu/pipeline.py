@@ -70,15 +70,25 @@ def run_pipeline(
     verbose: bool = True,
     mesh=None,
     overlap: bool = False,
+    image_hw: tuple[int, int] | None = None,
 ) -> PipelineResult:
     """The full pipeline (reference run_project, project.py:27-94).
+
+    ``images_left``/``images_right`` are either in-memory (F, H, W) arrays
+    or **lists of PNG paths** — with paths the frontend streams from disk
+    through the native prefetcher (parallel/pipeline.py: C++ decode threads
+    overlap device compute), which is how on-disk KITTI sequences should be
+    driven. ``image_hw`` gives the decode/bucket shape for the path mode
+    (defaults to the first image's size); smaller images are
+    edge-replicate-padded to it.
 
     With ``mesh`` (a jax.sharding.Mesh) the frontend shards the frame axis
     and bundle adjustment shards the window axis across the devices
     (parallel/sharded_frontend.py, parallel/sharded_ba.py). With
     ``overlap=True`` (requires ``mesh``) the mesh is split into frontend /
     backend stage groups and bundle adjustment runs concurrently with the
-    frontend (parallel/stage_overlap.py — pipeline parallelism).
+    frontend (parallel/stage_overlap.py — pipeline parallelism). Both
+    require in-memory arrays.
     """
     from .config import enable_compile_cache
 
@@ -122,8 +132,33 @@ def run_pipeline(
             save(out, cache / artifact)
         return out
 
+    from_disk = isinstance(images_left, (list, tuple))
+    if from_disk and (mesh is not None or overlap):
+        raise ValueError("mesh/overlap modes require in-memory image arrays")
+
     # stages 1-3: frontend + track store + bundles
-    if overlap and mesh is not None:
+    if from_disk:
+        from .parallel.pipeline import run_frontend_pipelined
+        from .utils.kitti import _imread_gray
+
+        if image_hw is None:
+            image_hw = _imread_gray(Path(images_left[0])).shape
+        # same incremental-checkpoint semantics as the in-memory branch: a
+        # complete checkpoint turns reruns into a pure load (no image IO)
+        fe = timed("frontend", lambda: run_frontend_pipelined(
+            list(images_left), list(images_right), image_hw, calib, cfg,
+            checkpoint_path=(
+                str(cache / "frontend_ckpt.npz") if cache else None),
+            resume=bool(cache and reuse)))
+        db = stage(
+            "trackstore", "trackstore.npz",
+            lambda: TrackStore.from_frontend(fe),
+            TrackStore.load, lambda o, p: o.save(p))
+        bundles = stage(
+            "bundles", "bundles.npz",
+            lambda: bundle_mod.run_bundles(db, fe.T_w2c, calib, cfg),
+            bundle_mod.load_bundles, bundle_mod.save_bundles)
+    elif overlap and mesh is not None:
         # pipeline parallelism: frontend stage group ‖ BA stage group
         # (parallel/stage_overlap.py); one timing bucket since the stages
         # genuinely run concurrently

@@ -67,6 +67,11 @@ def _load() -> bool:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32, ctypes.c_int32,
     ]
+    _lib.load_png_gray_padded.restype = ctypes.c_int
+    _lib.load_png_gray_padded.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32, ctypes.c_int32,
+    ]
     _lib.loader_create.restype = ctypes.c_void_p
     _lib.loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
@@ -121,11 +126,29 @@ def load_png_gray(path: str | Path, max_h: int = 4096, max_w: int = 4096):
     return buf[: h.value * w.value].reshape(h.value, w.value).copy()
 
 
+def load_png_gray_padded(path: str | Path, hw: tuple[int, int]) -> np.ndarray:
+    """Decode a PNG and edge-replicate-pad it bottom/right to ``hw``
+    (utils.kitti.pad_to_bucket semantics; image must not exceed ``hw``)."""
+    if not _load():
+        raise RuntimeError("native runtime unavailable")
+    H, W = hw
+    buf = np.zeros((H, W), np.float32)
+    rc = _lib.load_png_gray_padded(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), H, W,
+    )
+    if rc != 0:
+        raise IOError(f"load_png_gray_padded({path}) failed rc={rc}")
+    return buf
+
+
 class StereoPrefetcher:
     """Background-threaded stereo chunk loader.
 
     Decodes chunk c+1 on host threads while the caller computes on chunk c
-    — the host/IO half of the pipelined frontend.
+    — the host/IO half of the pipelined frontend. Images smaller than
+    (H, W) are edge-replicate-padded bottom/right (bucket semantics), so
+    multi-resolution sequence batches share one compiled shape.
     """
 
     def __init__(self, left_paths, right_paths, H, W, chunk, n_threads=3):

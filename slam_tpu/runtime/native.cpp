@@ -126,6 +126,26 @@ int load_png_gray(const char* path, float* out, int32_t* h, int32_t* w,
   return 0;
 }
 
+// Decode into a fixed (H, W) row-major buffer, edge-replicate-padding
+// bottom/right when the image is smaller (the bucket-padding semantics of
+// utils/kitti.pad_to_bucket, so multi-resolution sequence batches can ride
+// the prefetcher). The image must not exceed (H, W). Returns 0 on success.
+int load_png_gray_padded(const char* path, float* out, int32_t H, int32_t W) {
+  std::vector<float> tmp((size_t)H * W);
+  int32_t h = 0, w = 0;
+  int rc = load_png_gray(path, tmp.data(), &h, &w, H, W);
+  if (rc != 0) return rc;
+  if (h <= 0 || w <= 0) return 5;
+  for (int32_t y = 0; y < H; ++y) {
+    int32_t sy = y < h ? y : h - 1;
+    const float* src = tmp.data() + (size_t)sy * w;
+    float* dst = out + (size_t)y * W;
+    memcpy(dst, src, (size_t)w * sizeof(float));
+    for (int32_t x = w; x < W; ++x) dst[x] = src[w - 1];
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // 3. background stereo-chunk prefetcher
 // ---------------------------------------------------------------------------
@@ -168,12 +188,11 @@ struct Loader {
               is_right ? right[start + f] : left[start + f];
           float* dst = buf.data() +
                        ((is_right ? (size_t)chunk : 0) + f) * (size_t)H * W;
-          int32_t h = 0, w = 0;
-          int rc = load_png_gray(p.c_str(), dst, &h, &w, H, W);
-          // rows are written packed at the image's own width; anything but
-          // an exact (H, W) match would be misaligned — blank it instead.
-          if (rc != 0 || h != H || w != W)
-            memset(dst, 0, (size_t)H * W * sizeof(float));
+          // smaller images are edge-replicate-padded to (H, W) — the
+          // bucket semantics multi-resolution batches rely on; decode
+          // failures blank the frame.
+          int rc = load_png_gray_padded(p.c_str(), dst, H, W);
+          if (rc != 0) memset(dst, 0, (size_t)H * W * sizeof(float));
         }
       };
       std::vector<std::thread> pool;

@@ -117,6 +117,64 @@ def read_kth_camera(paths: KittiPaths, k: int) -> np.ndarray:
     return read_ground_truth(paths)[k]
 
 
+def _imwrite_gray(path: Path, img_u8: np.ndarray) -> None:
+    try:
+        import cv2
+
+        if not cv2.imwrite(str(path), img_u8):
+            raise IOError(path)
+    except ImportError:
+        from PIL import Image
+
+        Image.fromarray(img_u8, mode="L").save(path)
+
+
+def write_kitti_sequence(
+    root: Path | str,
+    sequence: str,
+    left_u8: np.ndarray,
+    right_u8: np.ndarray,
+    calib: np.ndarray,
+    T_w2c: np.ndarray | None = None,
+) -> KittiPaths:
+    """Write a stereo sequence to disk in KITTI odometry's exact layout:
+
+      <root>/sequences/<seq>/image_0/000000.png ...   (left, 8-bit gray)
+      <root>/sequences/<seq>/image_1/000000.png ...   (right)
+      <root>/sequences/<seq>/calib.txt                (P0..P3 lines)
+      <root>/poses/<seq>.txt                          (3x4 cam-to-world rows)
+
+    ``calib`` is the [fx, fy, cx, cy, baseline] vector; ``T_w2c`` the
+    per-frame extrinsics (inverted to the cam-to-world rows KITTI ships,
+    matching read_ground_truth). This is the fixture generator for driving
+    the on-disk CLI path (reference layout per Inputs.py:8-64 +
+    arguments.py:12-14) without the real dataset in the image.
+    """
+    paths = KittiPaths(root=Path(root), sequence=sequence)
+    paths.left_dir.mkdir(parents=True, exist_ok=True)
+    paths.right_dir.mkdir(parents=True, exist_ok=True)
+    F = left_u8.shape[0]
+    for i in range(F):
+        _imwrite_gray(paths.left_dir / f"{i:06d}.png", left_u8[i])
+        _imwrite_gray(paths.right_dir / f"{i:06d}.png", right_u8[i])
+
+    fx, fy, cx, cy, b = [float(v) for v in np.asarray(calib).ravel()[:5]]
+    P0 = np.array([[fx, 0, cx, 0], [0, fy, cy, 0], [0, 0, 1, 0]])
+    P1 = P0.copy()
+    P1[0, 3] = -fx * b  # right-camera baseline (Inputs.py:22-37 inverse)
+    lines = []
+    for label, P in (("P0", P0), ("P1", P1), ("P2", P0), ("P3", P1)):
+        lines.append(label + ": " + " ".join(f"{v:.12e}" for v in P.ravel()))
+    paths.calib_file.write_text("\n".join(lines) + "\n")
+
+    if T_w2c is not None:
+        paths.poses_file.parent.mkdir(parents=True, exist_ok=True)
+        T_c2w = np.linalg.inv(np.asarray(T_w2c, np.float64))
+        rows = T_c2w[:, :3, :].reshape(len(T_c2w), 12)
+        np.savetxt(paths.poses_file, rows, fmt="%.12e")
+    return paths
+
+
 def _imread_gray(path: Path) -> np.ndarray:
     try:
         import cv2
