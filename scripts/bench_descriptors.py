@@ -42,7 +42,7 @@ def main() -> int:
     import jax
 
     from slam_tpu import pipeline as pipeline_mod
-    from slam_tpu.config import FeatureConfig, SlamConfig
+    from slam_tpu.config import FeatureConfig, MatchConfig, SlamConfig
     from slam_tpu.utils import synthetic
 
     args.out.mkdir(parents=True, exist_ok=True)
@@ -63,13 +63,16 @@ def main() -> int:
     calib = np.asarray(scene.calib)
 
     variants = {
-        "harris1": FeatureConfig(),
-        "harris2": FeatureConfig(num_levels=2),
-        "akaze": FeatureConfig(detector="akaze", num_levels=2),
+        "harris1": SlamConfig(),
+        "harris2": SlamConfig(features=FeatureConfig(num_levels=2)),
+        "akaze": SlamConfig(
+            features=FeatureConfig(detector="akaze", num_levels=2)),
+        # NORM_HAMMING mode (reference matching.py:21): binarized
+        # descriptors matched by exact MXU popcount (ops/binary.py)
+        "hamming": SlamConfig(matching=MatchConfig(norm="hamming")),
     }
     summary = {}
-    for name, feat in variants.items():
-        cfg = SlamConfig(features=feat)
+    for name, cfg in variants.items():
         t0 = time.perf_counter()
         res = pipeline_mod.run_pipeline(L, R, calib, cfg,
                                         run_loop_closure=True, verbose=False)
@@ -91,6 +94,35 @@ def main() -> int:
         print(f"[descbench] {name}: "
               + json.dumps(summary[name]), flush=True)
         cfg.save(args.out / f"config_{name}.json")
+
+    # matcher-kernel microbench: float L2 vs Hamming signs through the
+    # same fused mutual-nearest kernel (identical matmul shape -> expect
+    # identical rate; this documents that Hamming costs nothing extra)
+    import jax.numpy as jnp
+
+    from slam_tpu.ops import binary, matching
+
+    K, D, B = 2048, 128, 32
+    key = jax.random.PRNGKey(0)
+    df = jax.random.uniform(key, (B, K, D), jnp.float32)
+    df = df / jnp.linalg.norm(df, axis=-1, keepdims=True)
+    sb = binary.binarize_descriptors(df)
+    v = jnp.ones((B, K), bool)
+    run_f = jax.jit(lambda a, b: matching.mutual_match_batched(
+        a, b, v, v, max_dist=0.6))
+    run_h = jax.jit(lambda a, b: binary.hamming_mutual_match_batched(
+        a, b, v, v, max_hamming=40.0))
+    for tag, fn, a, b in (("l2", run_f, df[:, :], jnp.roll(df, 1, 0)),
+                          ("hamming", run_h, sb, jnp.roll(sb, 1, 0))):
+        jax.block_until_ready(fn(a, b))  # compile
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            out = fn(a, b)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / (reps * B) * 1e3
+        summary[f"matcher_{tag}_ms_per_pair"] = round(ms, 4)
+        print(f"[descbench] matcher {tag}: {ms:.4f} ms/pair (K={K}, D={D})")
 
     (args.out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))

@@ -64,6 +64,20 @@ def main() -> int:
                    lambda im: pk.harris_response_batch(im), (imgs,)))
     checks.append(("orientation_cell_maps_batch",
                    lambda im: pk.orientation_cell_maps_batch(im), (imgs,)))
+    kvals = jnp.full((2,), 0.01, jnp.float32)
+    checks.append(("akaze_octave_batch",
+                   lambda im, kv: pk.akaze_octave_batch(im, kv),
+                   (imgs, kvals)))
+
+    # --- fused-kernel routing of the AKAZE detector ------------------------
+    from slam_tpu.ops import akaze
+
+    checks.append((
+        "akaze.detect_and_describe_akaze_batch",
+        lambda im: akaze.detect_and_describe_akaze_batch(
+            im, max_kp=512, use_pallas=True),
+        (imgs,),
+    ))
 
     # --- the production frontend entry (covers kernel ROUTING too) ---------
     cfg = SlamConfig()

@@ -34,6 +34,11 @@ class MatchConfig:
     max_desc_dist: float = 0.6    # descriptor distance cutoff (sq-L2, unit
     # norm): without it, weak mutual matches occasionally outnumber true
     # correspondences and RANSAC locks onto junk (measured: 200x ATE blowup)
+    # descriptor norm: "l2" (float descriptors) or "hamming" (binarized
+    # MLDB-style bits matched as NORM_HAMMING via ops/binary.py — the
+    # reference's headline AKAZE matcher, matching.py:21)
+    norm: str = "l2"
+    max_hamming: float = 40.0     # bit-distance cutoff when norm="hamming"
     # guided-matching search windows (slam_tpu addition; the reference
     # brute-forces full descriptor sets, matching.py:21-34)
     guided: bool = True

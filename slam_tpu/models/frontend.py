@@ -161,17 +161,28 @@ def _detect_describe(imgs: jnp.ndarray, cfg: SlamConfig):
     if cfg.features.detector == "akaze":
         from ..ops import akaze
 
-        return jax.vmap(
-            lambda im: akaze.detect_and_describe_akaze(
-                im, max_kp=K, octaves=max(levels, 2),
-                threshold=cfg.features.akaze_threshold,
-            )
-        )(imgs)
+        return _maybe_binarize(akaze.detect_and_describe_akaze_batch(
+            imgs, max_kp=K, octaves=max(levels, 2),
+            threshold=cfg.features.akaze_threshold,
+        ), cfg)
     if levels > 1:
-        return features.detect_and_describe_multiscale_batch(
+        out = features.detect_and_describe_multiscale_batch(
             imgs, max_kp=K, num_levels=levels
         )
-    return features.detect_and_describe_batch(imgs, max_kp=K)
+    else:
+        out = features.detect_and_describe_batch(imgs, max_kp=K)
+    return _maybe_binarize(out, cfg)
+
+
+def _maybe_binarize(feats: dict, cfg: SlamConfig) -> dict:
+    """NORM_HAMMING mode (reference matching.py:21): quantize the float
+    descriptor to ±1 bit signs right after detection, so every downstream
+    matmul matcher computes exact Hamming distances (ops/binary.py)."""
+    if cfg.matching.norm != "hamming":
+        return feats
+    from ..ops import binary
+
+    return dict(feats, desc=binary.binarize_descriptors(feats["desc"]))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -208,12 +219,22 @@ def process_chunk(
 
     # --- stereo association (vmapped, disparity-band guided) ---------------
     mc = cfg.matching
+    if mc.norm == "hamming":
+        # descriptors are ±1 bit signs; the matcher's L2-form distance is an
+        # affine, increasing map of Hamming distance — convert the gate
+        from ..ops import binary
+
+        eff_max_dist = binary.base_gate_from_hamming(
+            mc.max_hamming, feats["desc"].shape[-1]
+        )
+    else:
+        eff_max_dist = mc.max_desc_dist
     stereo_win = (
         (-mc.max_disparity, -mc.stereo_min_disp, mc.stereo_match_dy)
         if mc.guided else None
     )
     sm = matching.match_stereo_pair_batched(fl, fr, window=stereo_win,
-                                        max_dist=mc.max_desc_dist)
+                                        max_dist=eff_max_dist)
     links = sm["links"]            # (F, K, 3)
     link_valid = sm["matched"]     # (F, K)
 
@@ -249,7 +270,7 @@ def process_chunk(
     tm = matching.mutual_match_batched(
         prev_desc, desc, prev_valid, valid,
         xy_a=prev_xy, xy_b=xy, window=temporal_win,
-        max_dist=mc.max_desc_dist,
+        max_dist=eff_max_dist,
     )
     # m_fwd maps prev-slot -> cur-slot. (mutual_match is symmetric by
     # construction — equivalent to the reference's fwd/bwd cross-check,
@@ -317,6 +338,10 @@ def process_chunk(
     match_prev, match_dist, inlier_prev = jax.vmap(scatter_to_cur)(
         tm, rr["inliers"]
     )
+    if mc.norm == "hamming":
+        # report match distances in bit counts (BIG sentinels pass through)
+        match_dist = binary.hamming_from_base(match_dist,
+                                              feats["desc"].shape[-1])
 
     num_corr = jnp.sum(corr_valid, axis=-1)
     out = {

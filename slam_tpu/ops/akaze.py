@@ -84,6 +84,21 @@ def _contrast_k(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(3.0 * jnp.percentile(mag, 70.0), 1e-4)
 
 
+def _octave_budgets(max_kp: int, octaves: int) -> list[int]:
+    """Per-octave keypoint budgets (half per split, 128-lane multiples) —
+    the AKAZE analogue of features._multiscale_budgets."""
+    budgets = []
+    remaining = max_kp
+    for o in range(octaves):
+        b = remaining // 2 if o < octaves - 1 else remaining
+        b = max(128, (b // 128) * 128)
+        b = min(b, remaining)
+        budgets.append(b)
+        remaining -= b
+    budgets[0] += remaining
+    return budgets
+
+
 @partial(jax.jit, static_argnames=("max_kp", "octaves", "steps"))
 def detect_and_describe_akaze(
     img: jnp.ndarray,
@@ -99,16 +114,7 @@ def detect_and_describe_akaze(
     (matching.py:20: response floor 8e-4).
     """
     k = _contrast_k(img)
-
-    budgets = []
-    remaining = max_kp
-    for o in range(octaves):
-        b = remaining // 2 if o < octaves - 1 else remaining
-        b = max(128, (b // 128) * 128)
-        b = min(b, remaining)
-        budgets.append(b)
-        remaining -= b
-    budgets[0] += remaining
+    budgets = _octave_budgets(max_kp, octaves)
 
     outs = []
     L = feat.gaussian_blur(img, 1.0, 2)
@@ -134,6 +140,75 @@ def detect_and_describe_akaze(
 
     return {
         key: jnp.concatenate([o[key] for o in outs], axis=0)
+        for key in ("xy", "desc", "valid", "resp", "scale")
+    }
+
+
+def detect_and_describe_akaze_batch(
+    imgs: jnp.ndarray,
+    max_kp: int = feat.DEFAULT_MAX_KP,
+    octaves: int = 2,
+    steps: int = 6,
+    threshold: float = 8e-4,
+    use_pallas: bool | None = None,
+):
+    """Batched nonlinear scale-space detect+describe over (F, H, W).
+
+    On TPU the whole octave — all diffusion steps, Hessian response, NMS —
+    comes from one fused Pallas VMEM pass per row tile
+    (pallas_kernels.akaze_octave_batch), and descriptor maps from the
+    fused orientation kernel; elsewhere this is exactly
+    ``vmap(detect_and_describe_akaze)``. The Pallas octave matches the
+    jnp diffusion/response to f32 roundoff (wrap halos); detection runs
+    behind border=12 on that path so descriptor samples stay clear of the
+    orientation maps' differing border band (see
+    detect_and_describe_multiscale_batch).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return jax.vmap(
+            lambda im: detect_and_describe_akaze(
+                im, max_kp=max_kp, octaves=octaves, steps=steps,
+                threshold=threshold,
+            )
+        )(imgs)
+
+    from . import pallas_kernels as pk
+
+    F = imgs.shape[0]
+    budgets = _octave_budgets(max_kp, octaves)
+    k = jax.vmap(_contrast_k)(imgs)                    # (F,)
+    L = jax.vmap(lambda im: feat.gaussian_blur(im, 1.0, 2))(imgs)
+    outs = []
+    for o, kp_budget in enumerate(budgets):
+        sigma = 1.6 * (2.0 ** o)
+        L, resp, nms = pk.akaze_octave_batch(L, k, steps=steps, sigma=sigma)
+        maps = pk.orientation_cell_maps_batch(L)
+
+        def one(r, rn, l_img, mp, kp_budget=kp_budget, sigma=sigma):
+            det = feat.select_keypoints(
+                r, kp_budget, border=12,
+                min_response=threshold * (sigma ** 4) * 1e-3,
+                resp_nms=rn,
+            )
+            desc = feat.describe(l_img, det["xy"], det["valid"], maps=mp)
+            return det, desc
+
+        det, desc = jax.vmap(one)(resp, nms, L, maps)
+        factor = float(1 << o)
+        outs.append({
+            "xy": det["xy"] * factor,
+            "desc": desc,
+            "valid": det["valid"],
+            "resp": det["resp"],
+            "scale": jnp.full((F, kp_budget), factor, jnp.float32),
+        })
+        if o + 1 < octaves:
+            L = jax.vmap(lambda l: feat.gaussian_blur(l, 1.0, 2)[::2, ::2])(L)
+
+    return {
+        key: jnp.concatenate([o[key] for o in outs], axis=1)
         for key in ("xy", "desc", "valid", "resp", "scale")
     }
 

@@ -47,9 +47,18 @@ def binarize_descriptors(desc: jnp.ndarray, valid: jnp.ndarray | None = None
     return jnp.where(desc > thresh, 1.0, -1.0).astype(desc.dtype)
 
 
-def _affine(max_hamming: float, D: int) -> float:
-    """Hamming gate -> the matcher's L2-form base-distance gate."""
-    return (2.0 - 2.0 * D) + 4.0 * float(max_hamming)
+def base_gate_from_hamming(max_hamming: float, D: int) -> float:
+    """Hamming gate -> the matcher's L2-form base-distance gate.
+
+    The matcher applies a strict ``dist < gate`` test while Hamming
+    distances are integers; the +0.5-bit offset makes the gate inclusive
+    (``h <= max_hamming`` passes, ``h = max_hamming + 1`` does not),
+    exactly — all quantities are small integers times 4.
+    """
+    return (2.0 - 2.0 * D) + 4.0 * (float(max_hamming) + 0.5)
+
+
+_affine = base_gate_from_hamming  # internal alias
 
 
 def hamming_from_base(dist: jnp.ndarray, D: int = DESC_BITS) -> jnp.ndarray:

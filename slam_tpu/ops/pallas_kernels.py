@@ -488,3 +488,148 @@ def orientation_cell_maps_batch(imgs: jnp.ndarray,
         interpret=interpret,
     )(canvas)
     return out[:, :, :H, _HPAD_C : _HPAD_C + W]
+
+
+# ---------------------------------------------------------------------------
+# fused AKAZE octave: Perona-Malik diffusion + Hessian response + NMS
+# ---------------------------------------------------------------------------
+#
+# ops/akaze.diffuse runs `steps` explicit PM iterations, each of which is
+# ~10 image-sized elementwise/roll passes through HBM, followed by the
+# scale-normalized Hessian response (4 more) and NMS — the same
+# HBM-bound, 1-channel shape the Harris kernel exists for, times the step
+# count. This kernel runs the ENTIRE octave — all diffusion steps, the
+# Hessian determinant, and the 5x5 suppression — in one VMEM pass per row
+# tile: each input row is read once and three row-tiles (diffused L,
+# response, suppressed response) are written back.
+#
+# Boundary semantics: the jnp reference uses jnp.roll, i.e. *wrap*
+# neighbors at image edges. The host wrapper pads the canvas with
+# mode="wrap" halos wider than the total propagation radius
+# (steps + hessian 1 + nms 2 <= _AHALO), so the kernel reproduces the jnp
+# diffusion and response bit-for-bit (f32 roundoff) over the whole image,
+# borders included. Only the NMS border band (<= 2 px) differs: _nms pads
+# -inf outside the image while this kernel sees the wrapped response
+# there; select_keypoints enforces border >= 4 whenever a precomputed
+# suppression map is supplied, which hides the band.
+
+AKAZE_TILE = 96       # output rows per program; tile = 96 + 2*16 = 128 rows
+_AHALO = 16           # >= steps (<=12) + hessian 1 + nms 2
+
+
+def _akaze_kernel(k_ref, img_ref, L_ref, resp_ref, nms_ref, buf, sem,
+                  *, steps, tau, sigma4):
+    t = pl.program_id(1)
+    f = pl.program_id(0)
+    T = AKAZE_TILE
+    R = T + 2 * _AHALO
+    dma = pltpu.make_async_copy(
+        img_ref.at[f, pl.ds(t * T, R), :], buf, sem
+    )
+    dma.start()
+    dma.wait()
+    x = buf[:]                                    # (R, C) float32
+    kk = k_ref[f, 0]
+    inv_k2 = 1.0 / (kk * kk)
+
+    def rollc(z, s):
+        """rollc(z, s)[., j] = z[., j + s] (lane axis)."""
+        if s == 0:
+            return z
+        return pltpu.roll(z, (-s) % z.shape[1], 1)
+
+    def rollr(z, s):
+        """rollr(z, s)[i] = z[i + s] (sublane axis; tile-wrap garbage is
+        contained by the halo)."""
+        if s == 0:
+            return z
+        return pltpu.roll(z, (-s) % z.shape[0], 0)
+
+    # explicit PM-g2 diffusion: x += tau * div(g(|grad x|^2) grad x)
+    # (ops/akaze.diffuse semantics: centered gradients, fwd/bwd divergence)
+    for _ in range(steps):
+        gx = 0.5 * (rollc(x, 1) - rollc(x, -1))
+        gy = 0.5 * (rollr(x, 1) - rollr(x, -1))
+        g = 1.0 / (1.0 + (gx * gx + gy * gy) * inv_k2)
+        fx = g * gx
+        fy = g * gy
+        div = (fx - rollc(fx, -1)) + (fy - rollr(fy, -1))
+        x = x + tau * div
+
+    L_ref[0] = x[_AHALO : _AHALO + T]
+
+    # scale-normalized det(Hessian) (ops/akaze._hessian_response)
+    Lxx = rollc(x, 1) - 2.0 * x + rollc(x, -1)
+    Lyy = rollr(x, 1) - 2.0 * x + rollr(x, -1)
+    xu = rollr(x, 1)
+    xd = rollr(x, -1)
+    Lxy = 0.25 * (rollc(xu, 1) - rollc(xu, -1) - rollc(xd, 1) + rollc(xd, -1))
+    resp = sigma4 * (Lxx * Lyy - Lxy * Lxy)
+    resp_ref[0] = resp[_AHALO : _AHALO + T]
+
+    # fused 5x5 non-max suppression (features._nms contract)
+    rowm = jnp.maximum(
+        jnp.maximum(jnp.maximum(rollr(resp, -2), rollr(resp, -1)),
+                    jnp.maximum(rollr(resp, 1), rollr(resp, 2))),
+        resp,
+    )
+    m = jnp.maximum(
+        jnp.maximum(jnp.maximum(rollc(rowm, -2), rollc(rowm, -1)),
+                    jnp.maximum(rollc(rowm, 1), rollc(rowm, 2))),
+        rowm,
+    )
+    keep = resp >= m
+    nms_ref[0] = jnp.where(keep, resp, -jnp.inf)[_AHALO : _AHALO + T]
+
+
+_APAD_C = 16          # wrap columns each side (>= propagation radius)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "tau", "sigma", "interpret"))
+def akaze_octave_batch(imgs: jnp.ndarray, k: jnp.ndarray, steps: int = 6,
+                       tau: float = 0.2, sigma: float = 1.6,
+                       interpret: bool = False):
+    """Fused AKAZE octave: (F, H, W) images + per-frame PM contrast ``k``
+    -> (L_diffused, resp, resp_nms), each (F, H, W).
+
+    Matches ``vmap(akaze.diffuse)`` + ``vmap(akaze._hessian_response)`` to
+    f32 roundoff over the full image (wrap halos, see module comment);
+    ``resp_nms`` matches features._nms away from the 2 px border band.
+    """
+    F, H, W = imgs.shape
+    assert steps + 3 <= _AHALO, steps
+    T = AKAZE_TILE
+    n_t = -(-H // T)
+    Hp = n_t * T
+    CP = 128 * (-(-(W + 2 * _APAD_C) // 128))
+    canvas = jnp.pad(
+        imgs,
+        ((0, 0), (_AHALO, Hp - H + _AHALO), (_APAD_C, CP - W - _APAD_C)),
+        mode="wrap",
+    )
+    shape = jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype)
+    ospec = pl.BlockSpec((1, T, CP), lambda f, t: (f, t, 0),
+                         memory_space=pltpu.VMEM)
+    L, resp, nms = pl.pallas_call(
+        functools.partial(_akaze_kernel, steps=steps, tau=tau,
+                          sigma4=float(sigma) ** 4),
+        out_shape=(shape, shape, shape),
+        grid=(F, n_t),
+        in_specs=[
+            # whole (F, 1) scalar vector in SMEM (TPU block shapes must
+            # equal the array dims for sub-(8,128) blocks); the kernel
+            # indexes it by program id
+            pl.BlockSpec((imgs.shape[0], 1), lambda f, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(ospec, ospec, ospec),
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * _AHALO, CP), imgs.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(k.reshape(F, 1).astype(imgs.dtype), canvas)
+    sl = (slice(None), slice(0, H), slice(_APAD_C, _APAD_C + W))
+    return L[sl], resp[sl], nms[sl]

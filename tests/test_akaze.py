@@ -51,6 +51,24 @@ def test_akaze_matches_shifted_image():
     assert np.mean(np.abs(dx + 6) < 2) > 0.7
 
 
+def test_akaze_batch_matches_single_image_contract():
+    """detect_and_describe_akaze_batch (jnp path) is exactly
+    vmap(detect_and_describe_akaze)."""
+    imgs = jnp.stack([
+        textured_image(jax.random.PRNGKey(4), h=128, w=256),
+        textured_image(jax.random.PRNGKey(5), h=128, w=256),
+    ])
+    batch = akaze.detect_and_describe_akaze_batch(
+        imgs, max_kp=256, octaves=2, use_pallas=False
+    )
+    single = jax.vmap(
+        lambda im: akaze.detect_and_describe_akaze(im, max_kp=256, octaves=2)
+    )(imgs)
+    for key in ("xy", "desc", "valid", "resp", "scale"):
+        np.testing.assert_array_equal(np.asarray(batch[key]),
+                                      np.asarray(single[key]), err_msg=key)
+
+
 @pytest.mark.slow
 def test_frontend_with_akaze_detector():
     from slam_tpu.config import (

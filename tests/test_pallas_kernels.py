@@ -127,6 +127,35 @@ def test_pallas_harris_matches_f32_reference():
     assert frac < 5e-3, frac  # near-tie flips only
 
 
+def test_pallas_akaze_octave_matches_jnp():
+    """Fused diffusion+Hessian+NMS octave vs the jnp reference. The wrap
+    halos reproduce jnp.roll semantics, so L and resp must agree over the
+    FULL image (borders included); only the NMS border band (<=2 px,
+    -inf-pad vs wrap) is excluded."""
+    from slam_tpu.ops import akaze
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.random((2, 130, 200)).astype(np.float32))
+    k = jax.vmap(akaze._contrast_k)(imgs)
+    sigma = 1.6
+    L, resp, nms = pallas_kernels.akaze_octave_batch(
+        imgs, k, steps=6, sigma=sigma, interpret=True
+    )
+    with jax.default_matmul_precision("float32"):
+        L_ref = jax.vmap(lambda im, kk: akaze.diffuse(im, kk, 6))(imgs, k)
+        r_ref = jax.vmap(
+            lambda l: akaze._hessian_response(l, sigma))(L_ref)
+        n_ref = jax.vmap(features._nms)(r_ref)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                               atol=2e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(resp), np.asarray(r_ref),
+                               atol=1e-5, rtol=0)
+    keep_p = np.isfinite(np.asarray(nms))[:, 3:-3, 3:-3]
+    keep_r = np.isfinite(np.asarray(n_ref))[:, 3:-3, 3:-3]
+    frac = (keep_p != keep_r).mean()
+    assert frac < 1e-3, frac  # near-tie flips only
+
+
 def test_pallas_orientation_maps_match_f32_reference():
     import jax
 
