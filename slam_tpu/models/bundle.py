@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BundleConfig, KeyframeConfig, SlamConfig
-from ..ops import ba, se3
+from ..ops import ba
 from ..utils import metrics
 from .trackstore import NO_ID, TrackStore
 
@@ -258,23 +258,34 @@ def build_windows(
 
 
 def init_landmarks(batch: BundleBatch, calib) -> None:
-    """Resolve landmark initializations (backprojection) in one batched op.
+    """Resolve landmark initializations (stereo backprojection at the
+    chosen observation, mapped into the window frame).
 
-    Separated from window construction so the geometry runs on device.
+    Pure host NumPy on purpose: the math is (B, L) tiny-vector algebra
+    (~300k points), and dispatching it as unjitted jnp ops cost one
+    device round-trip *per primitive* through the remote tunnel —
+    measured 243 s at reference scale vs milliseconds here. Formulas
+    mirror ops/stereo.backproject (z = fx*b/disparity) and the SE(3)
+    inverse X_win = R^T (pc - t).
     """
-    from ..ops import stereo as _st
-
     B, L = batch.points0.shape[:2]
     rows = batch.points0[..., 0].astype(np.int64)  # (B, L) obs row per lm
     valid = batch.points0[..., 1] == -12345.0
     links = np.take_along_axis(batch.meas, rows[..., None], axis=1)  # (B,L,3)
     cams = np.take_along_axis(batch.cam_idx, rows.astype(np.int32), axis=1)
-    pc = np.asarray(_st.backproject(jnp.asarray(calib), jnp.asarray(links)))
+    fx, fy, cx, cy, b = (float(v) for v in np.asarray(calib).ravel()[:5])
+    uL, uR, v = links[..., 0], links[..., 1], links[..., 2]
+    disp = uL - uR
+    disp = np.where(np.abs(disp) < 1e-6, 1e-6, disp)
+    z = fx * b / disp
+    pc = np.stack([(uL - cx) * z / fx, (v - cy) * z / fy, z], axis=-1)
     # transform camera-frame point to window frame: X = T_cam^-1 * pc
     T = batch.poses0[np.arange(B)[:, None], cams]  # (B, L, 4, 4)
-    Tinv = np.asarray(jax.vmap(jax.vmap(se3.inverse))(jnp.asarray(T)))
-    Xw = np.einsum("blij,blj->bli", Tinv[..., :3, :3], pc) + Tinv[..., :3, 3]
-    batch.points0[:] = np.where(valid[..., None], Xw, 0.0)
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Xw = np.einsum("blji,blj->bli", R, pc - t)  # R^T (pc - t)
+    batch.points0[:] = np.where(valid[..., None],
+                                Xw.astype(np.float32), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -358,20 +369,36 @@ def optimize_windows(
 
     for s in range(0, B, device_batch):
         e = min(s + device_batch, B)
-        p0 = jnp.asarray(batch.poses0[s:e])
-        x0 = jnp.asarray(batch.points0[s:e])
-        ci = jnp.asarray(batch.cam_idx[s:e])
-        li = jnp.asarray(batch.lm_idx[s:e])
-        ms = jnp.asarray(batch.meas[s:e])
-        ww = jnp.asarray(batch.w[s:e])
+        # pad the tail slice to device_batch (zero-weight dummy windows):
+        # a smaller final slice would recompile solver/cov/cost for its
+        # own shape — one extra multi-minute cold compile per run
+        pad = device_batch - (e - s) if B > device_batch else 0
+
+        def sl(a, fill=0):
+            x = a[s:e]
+            if pad:
+                x = np.concatenate(
+                    [x, np.repeat(x[-1:], pad, axis=0)], axis=0
+                )
+            return jnp.asarray(x)
+
+        p0 = sl(batch.poses0)
+        x0 = sl(batch.points0)
+        ci = sl(batch.cam_idx)
+        li = sl(batch.lm_idx)
+        ms = sl(batch.meas)
+        ww = sl(batch.w)
+        if pad:
+            ww = ww.at[e - s :].set(0.0)  # dummy windows carry no residuals
+        n = e - s
         poses, points, w2, cost = solver(p0, x0, ci, li, ms, ww)
         covs = cov_fn(poses, points, ci, li, ms, w2)
-        out_cost0.append(np.asarray(cost0_fn(p0, x0, ci, li, ms, ww)))
-        out_poses.append(np.asarray(poses))
-        out_points.append(np.asarray(points))
-        out_w.append(np.asarray(w2))
-        out_cost.append(np.asarray(cost))
-        out_cov.append(np.asarray(covs))
+        out_cost0.append(np.asarray(cost0_fn(p0, x0, ci, li, ms, ww))[:n])
+        out_poses.append(np.asarray(poses)[:n])
+        out_points.append(np.asarray(points)[:n])
+        out_w.append(np.asarray(w2)[:n])
+        out_cost.append(np.asarray(cost)[:n])
+        out_cov.append(np.asarray(covs)[:n])
 
     poses = np.concatenate(out_poses)
     points = np.concatenate(out_points)
