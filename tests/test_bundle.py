@@ -80,3 +80,23 @@ def test_frame_poses_from_bundles(pipeline):
     gt = np.asarray(scene.T_w2c)
     ate = metrics.ate_rmse(T, gt)
     assert ate < 0.3, ate
+
+
+def test_device_batch_tail_padding_equivalence(pipeline):
+    """optimize_windows pads a short tail slice with zero-weight dummy
+    windows instead of compiling a second program for the remainder
+    shape; results must match the single-slice run exactly."""
+    scene, res, db = pipeline
+    kfs = bundle.select_keyframes(db, res.T_w2c, CFG.keyframes)
+    batch = bundle.build_windows(db, res.T_w2c, kfs, CFG.bundle)
+    bundle.init_landmarks(batch, scene.calib)
+    assert batch.num_windows >= 3  # need a tail for the padded path
+    one = bundle.optimize_windows(batch, scene.calib, CFG.bundle,
+                                  device_batch=64)
+    db2 = batch.num_windows - 1  # forces a 1-window padded tail slice
+    two = bundle.optimize_windows(batch, scene.calib, CFG.bundle,
+                                  device_batch=db2)
+    np.testing.assert_allclose(one.rel_T, two.rel_T, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(one.cost, two.cost, rtol=1e-5)
+    np.testing.assert_allclose(one.rel_cov, two.rel_cov,
+                               rtol=1e-4, atol=1e-7)
