@@ -182,15 +182,20 @@ def select_keypoints(
         Hc * Wc, cell * cell
     )
 
-    # top-3 per cell via masked argmax passes
+    # top-3 per cell via masked argmax passes. The mask-out is a
+    # broadcasted where, NOT a scatter: `.at[rows, argmax].set(-inf)`
+    # serializes one row per update on TPU and cost 2.5x the whole
+    # selection (0.49 -> 0.19 ms/image measured on v5e).
     cand_val, cand_pos = [], []
     t = tiles
-    for _ in range(3):
+    lanes = jnp.arange(t.shape[1], dtype=jnp.int32)[None, :]
+    for i in range(3):
         a = jnp.argmax(t, axis=1)
-        v = jnp.take_along_axis(t, a[:, None], axis=1)[:, 0]
+        v = jnp.max(t, axis=1)
         cand_val.append(v)
         cand_pos.append(a)
-        t = t.at[jnp.arange(t.shape[0]), a].set(-jnp.inf)
+        if i < 2:
+            t = jnp.where(lanes == a[:, None], -jnp.inf, t)
 
     n_cells = Hc * Wc
     vals = jnp.concatenate(cand_val)            # (3*n_cells,)
