@@ -273,12 +273,9 @@ def init_landmarks(batch: BundleBatch, calib) -> None:
     valid = batch.points0[..., 1] == -12345.0
     links = np.take_along_axis(batch.meas, rows[..., None], axis=1)  # (B,L,3)
     cams = np.take_along_axis(batch.cam_idx, rows.astype(np.int32), axis=1)
-    fx, fy, cx, cy, b = (float(v) for v in np.asarray(calib).ravel()[:5])
-    uL, uR, v = links[..., 0], links[..., 1], links[..., 2]
-    disp = uL - uR
-    disp = np.where(np.abs(disp) < 1e-6, 1e-6, disp)
-    z = fx * b / disp
-    pc = np.stack([(uL - cx) * z / fx, (v - cy) * z / fy, z], axis=-1)
+    from ..ops.stereo import backproject_np
+
+    pc = backproject_np(calib, links)
     # transform camera-frame point to window frame: X = T_cam^-1 * pc
     T = batch.poses0[np.arange(B)[:, None], cams]  # (B, L, 4, 4)
     R = T[..., :3, :3]

@@ -150,8 +150,9 @@ def _refine_pair(
     w[:n] = 1.0
     w[L : L + n] = 1.0
     points0 = np.zeros((L, 3), np.float32)
-    pts = np.asarray(stereo.backproject(jnp.asarray(calib), jnp.asarray(meas[:n])))
-    points0[:n] = pts
+    # host NumPy: meas[:n] is a dynamic shape (every closure has its own
+    # inlier count) — the device call recompiled per distinct n
+    points0[:n] = stereo.backproject_np(calib, meas[:n])
     poses0 = np.stack([np.eye(4, dtype=np.float32), np.asarray(T_init)])
 
     poses, points, w2, cost = ba.optimize_bundle_pruned(

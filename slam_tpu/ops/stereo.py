@@ -64,6 +64,27 @@ def backproject(calib: jnp.ndarray, meas: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
+def backproject_np(calib, meas):
+    """Host-NumPy :func:`backproject` (same formula, bit-equivalent in f32).
+
+    For host-side callers with small or dynamic-shape inputs (bundle
+    landmark init, loop-closure mini-bundle setup): dispatching tiny
+    jnp ops through a remote device costs a round-trip per primitive,
+    and dynamic shapes would recompile per distinct size.
+    """
+    import numpy as np
+
+    meas = np.asarray(meas, np.float32)
+    fx, fy, cx, cy, b = (float(v) for v in np.asarray(calib).ravel()[:5])
+    uL, uR, v = meas[..., 0], meas[..., 1], meas[..., 2]
+    disp = uL - uR
+    disp = np.where(np.abs(disp) < 1e-6, 1e-6, disp)
+    z = fx * b / disp
+    x = (uL - cx) * z / fx
+    y = (v - cy) * z / fy
+    return np.stack([x, y, z], axis=-1).astype(np.float32)
+
+
 def project_world(
     calib: jnp.ndarray, T_w2c: jnp.ndarray, pts_world: jnp.ndarray
 ) -> jnp.ndarray:
