@@ -71,6 +71,27 @@ def _xla_flops(compiled) -> float:
         return 0.0
 
 
+def _custom_call_flops_counted() -> bool:
+    """Does cost_analysis include Pallas pl.CostEstimate FLOPs?
+
+    The matcher kernel declares its 2*Ka*Kb*D matmul FLOPs via
+    CostEstimate (pallas_kernels.py); if the backend surfaces those in
+    cost_analysis, adding them analytically again would double-count the
+    dominant MXU term of mfu_frontend. Probe a tiny compile and look."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_tpu.ops import pallas_kernels as pk
+
+    a = jnp.zeros((128, 128), jnp.float32)
+    v = jnp.ones((128,), bool)
+    try:
+        c = jax.jit(pk.mutual_nearest).lower(a, a, v, v).compile()
+    except Exception:
+        return False
+    return _xla_flops(c) >= 2 * 128 * 128 * 128  # the declared estimate
+
+
 def make_images(num_frames: int) -> tuple[np.ndarray, np.ndarray]:
     """Synthetic KITTI-resolution stereo sequence (rendered blob scene)."""
     import jax
@@ -126,7 +147,8 @@ def bench_tpu(L: np.ndarray, R: np.ndarray) -> tuple[float, float]:
         #   8 bin projections + cell pooling)
         K_kp = cfg.features.max_kp
         D = 128
-        flops_per_chunk += CHUNK * 2 * (2 * K_kp * K_kp * D)
+        if not _custom_call_flops_counted():
+            flops_per_chunk += CHUNK * 2 * (2 * K_kp * K_kp * D)
         flops_per_chunk += 2 * CHUNK * H * W * 260.0
 
     n_chunks = (L.shape[0] - CHUNK) // CHUNK

@@ -94,6 +94,13 @@ def main(argv=None) -> int:
                 # device compute); images never fully materialize on host
                 lp = sorted(paths.left_dir.glob("*.png"))[: args.limit]
                 rp = sorted(paths.right_dir.glob("*.png"))[: args.limit]
+                if not lp or len(lp) != len(rp):
+                    # an empty image_0 or a left/right count mismatch would
+                    # otherwise surface as an IndexError (or NULL paths
+                    # handed to the native decoder)
+                    print(f"[slam_tpu] skipping {s}: {len(lp)} left / "
+                          f"{len(rp)} right PNGs")
+                    continue
                 if gt is not None:
                     gt = gt[: len(lp)]
                 sequences[s] = (lp, rp, calib, gt)

@@ -371,7 +371,7 @@ def optimize_windows(
         # own shape — one extra multi-minute cold compile per run
         pad = device_batch - (e - s) if B > device_batch else 0
 
-        def sl(a, fill=0):
+        def sl(a):
             x = a[s:e]
             if pad:
                 x = np.concatenate(

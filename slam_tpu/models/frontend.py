@@ -91,6 +91,13 @@ class DescriptorBank:
         for _, n, arr in self._chunks:
             if arr is not None:
                 return (total,) + tuple(arr.shape[1:])
+        # every chunk is checkpoint-resumed (None): recompute one chunk to
+        # learn (K, D) rather than break the documented (F, K, D) contract
+        if self._recompute is not None and self._chunks:
+            start, n, _ = self._chunks[0]
+            arr = self._recompute(start, n)
+            self._chunks[0] = (start, n, arr)
+            return (total,) + tuple(arr.shape[1:])
         return (total,)
 
     def numpy(self) -> np.ndarray:
@@ -477,7 +484,9 @@ def _convert_legacy_checkpoint(path, outs, T_w2c_all, carry, T_carry,
     }
     for k, v in (carry or {}).items():
         meta[f"carry_{k}"] = np.asarray(v)
-    np.savez_compressed(str(path), **meta)
+    # atomic: `path` is the only resume root — a crash mid-overwrite of
+    # the legacy file would forfeit every frame just copied into seg0
+    _atomic_savez(path, **meta)
 
 
 def run_frontend(
@@ -518,14 +527,20 @@ def run_frontend(
         return bl, br, n
 
     def _recompute_desc(start, n):
-        # restore a descriptor chunk dropped from a checkpoint: pad to the
-        # configured chunk size so every restore reuses one compiled shape
-        bl = np.asarray(images_left[start : start + n], dtype)
-        if n < chunk:
-            bl = np.concatenate(
-                [bl, np.zeros((chunk - n,) + bl.shape[1:], dtype)]
-            )
-        return recompute_descriptors(jnp.asarray(bl), cfg)[:n]
+        # restore descriptor chunks dropped from a checkpoint. Resumed
+        # entries cover whole checkpoint segments (n >> chunk), so split
+        # into chunk-sized padded blocks: every restore then reuses the
+        # single compiled shape instead of tracing a segment-sized batch.
+        parts = []
+        for s in range(start, start + n, chunk):
+            m = min(chunk, start + n - s)
+            bl = np.asarray(images_left[s : s + m], dtype)
+            if m < chunk:
+                bl = np.concatenate(
+                    [bl, np.zeros((chunk - m,) + bl.shape[1:], dtype)]
+                )
+            parts.append(recompute_descriptors(jnp.asarray(bl), cfg)[:m])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     outs = []
     desc_chunks: list = []  # (start, n, device array | host array | None)

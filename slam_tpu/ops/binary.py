@@ -31,8 +31,7 @@ from . import matching
 DESC_BITS = 128  # one bit per float-descriptor dimension
 
 
-def binarize_descriptors(desc: jnp.ndarray, valid: jnp.ndarray | None = None
-                         ) -> jnp.ndarray:
+def binarize_descriptors(desc: jnp.ndarray) -> jnp.ndarray:
     """(..., K, D) float descriptors -> (..., K, D) ±1 bit signs.
 
     LDB-style binarization: bit d is set iff the descriptor's cell energy

@@ -77,10 +77,18 @@ def run_frontend_pipelined(
         return L, R
 
     def _recompute_desc(start, n):
-        # restore a descriptor chunk dropped from a checkpoint, straight
-        # from the on-disk PNGs (keyframe gathers only — see DescriptorBank)
-        L, _ = _decode_block(start, n)
-        return recompute_descriptors(jnp.asarray(L), cfg)[:n]
+        # restore descriptor chunks dropped from a checkpoint, straight
+        # from the on-disk PNGs (keyframe gathers only — see
+        # DescriptorBank). Resumed entries cover whole checkpoint
+        # segments (n >> chunk), so split into chunk-sized blocks:
+        # _decode_block's buffers are chunk-sized and every block then
+        # reuses the single compiled shape.
+        parts = []
+        for s in range(start, start + n, chunk):
+            m = min(chunk, start + n - s)
+            L, _ = _decode_block(s, m)
+            parts.append(recompute_descriptors(jnp.asarray(L), cfg)[:m])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     outs: list = []
     desc_chunks: list = []  # (start, n, device array | host array | None)

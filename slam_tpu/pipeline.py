@@ -110,13 +110,35 @@ def run_pipeline(
     # reused only while every upstream stage was also reused AND the cached
     # config matches — a changed config or a recomputed upstream stage
     # invalidates everything downstream.
+    from_disk = isinstance(images_left, (list, tuple))
     reuse = False
     if cache:
+        import hashlib
+
+        # the reuse key is config + an input fingerprint: stage artifacts
+        # from a different sequence (or a different --limit of the same
+        # one) must not be served against this run's frontend
+        h = hashlib.sha256()
+        if from_disk:
+            h.update("\n".join(map(str, images_left)).encode())
+            h.update("\n".join(map(str, images_right)).encode())
+        else:
+            h.update(np.asarray(images_left[0]).tobytes())
+            h.update(np.asarray(images_left[-1]).tobytes())
+            h.update(np.asarray(images_right[0]).tobytes())
+        fingerprint = json.dumps(
+            {"frames": int(len(images_left)), "sha": h.hexdigest()})
+
         cache.mkdir(parents=True, exist_ok=True)
         cfg_file = cache / "config.json"
-        reuse = cfg_file.exists() and cfg_file.read_text() == cfg.to_json()
+        fp_file = cache / "inputs.json"
+        reuse = (
+            cfg_file.exists() and cfg_file.read_text() == cfg.to_json()
+            and fp_file.exists() and fp_file.read_text() == fingerprint
+        )
         if not reuse:
             cfg.save(cfg_file)
+            fp_file.write_text(fingerprint)
 
     def stage(name, artifact, compute, load, save):
         """Load ``artifact`` if the reuse chain holds, else compute+save.
@@ -132,7 +154,6 @@ def run_pipeline(
             save(out, cache / artifact)
         return out
 
-    from_disk = isinstance(images_left, (list, tuple))
     if from_disk and (mesh is not None or overlap):
         raise ValueError("mesh/overlap modes require in-memory image arrays")
 

@@ -100,3 +100,27 @@ def test_resume_noop_when_complete(seq, tmp_path):
                                   checkpoint_path=str(ck), resume=True)
     np.testing.assert_allclose(again.T_w2c, full.T_w2c, atol=1e-6)
     np.testing.assert_array_equal(again.match_prev, full.match_prev)
+
+
+@pytest.mark.slow
+def test_segment_sized_descriptor_recompute(seq, tmp_path):
+    """Checkpoint segments span multiple chunks (checkpoint_every=8 vs
+    chunk_frames=4): a resumed run must recompute dropped descriptor
+    chunks in chunk-sized blocks, not trace a segment-sized batch
+    (regression: the recompute once assumed n <= chunk and crashed /
+    compiled a fresh segment-sized shape)."""
+    scene, L, R = seq
+    ck = tmp_path / "fe_seg.npz"
+    full = frontend.run_frontend(L, R, scene.calib, CFG,
+                                 checkpoint_path=str(ck), checkpoint_every=8)
+    # resume purely from the checkpoint: every descriptor chunk is None
+    resumed = frontend.run_frontend(L, R, scene.calib, CFG,
+                                    checkpoint_path=str(ck),
+                                    checkpoint_every=8, resume=True)
+    # shape property must satisfy the (F, K, D) contract pre-materialization
+    assert len(resumed.desc.shape) == 3
+    assert resumed.desc.shape[0] == L.shape[0]
+    # recomputed descriptors match the originals (detection deterministic)
+    np.testing.assert_allclose(
+        np.asarray(resumed.desc.numpy()), np.asarray(full.desc.numpy()),
+        atol=1e-5)

@@ -146,3 +146,20 @@ def test_stage_reload_skips_recompute(loop_run):
     cfg_changed = dataclasses.replace(
         CFG, ransac=dataclasses.replace(CFG.ransac, num_hypotheses=128))
     assert (cache / "config.json").read_text() != cfg_changed.to_json()
+
+
+def test_stage_cache_keyed_on_inputs(loop_run):
+    """Stage artifacts must not be served against a different input
+    sequence: rerunning with a shorter --limit of the same scene must
+    recompute, not load (regression: the reuse key was config-only)."""
+    scene, res, cache = loop_run
+    L, R = synthetic.render_sequence(scene)
+    F2 = L.shape[0] - 8
+    res2 = pipeline.run_pipeline(L[:F2], R[:F2], scene.calib, CFG,
+                                 cache_dir=cache, run_loop_closure=False,
+                                 verbose=False)
+    # the shortened run must produce a frontend + backend of ITS length,
+    # not the cached full-length artifacts
+    assert res2.frontend.T_w2c.shape[0] == F2
+    assert res2.pose_graph.nodes.shape[0] <= res.pose_graph.nodes.shape[0]
+    assert int(res2.bundles.keyframes[-1]) == F2 - 1
