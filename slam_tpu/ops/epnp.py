@@ -232,10 +232,6 @@ def refine_pose_gn(
 
     fx, fy, b = calib[0], calib[1], calib[4]
 
-    def residuals(T):
-        pred = stereo.project(calib, se3.transform_points(T, pw[None])[0])
-        return (pred - meas) * weights[:, None]
-
     def res_jac(T):
         """Residuals + analytic Jacobian w.r.t. the right perturbation
         T*exp([w, v]) (same derivation as ops/ba._jacobians)."""
@@ -260,17 +256,34 @@ def refine_pose_gn(
         J = jnp.concatenate([J_rot, JR], axis=-1)  # (N, 3, 6)
         return r, J * weights[:, None, None]
 
-    def step(_, T):
-        r, J = res_jac(T)
+    # Carry (T, r, J, cost) across iterations: the accept test's cost at
+    # T_new doubles as the next iteration's residual evaluation, so each
+    # step runs res_jac once (the naive step + separate accept-residuals
+    # evaluated the projection twice and was ~2x the refine cost on chip).
+    # A rejected step leaves the carry unchanged, which reproduces the
+    # previous behavior exactly (the same xi would be retried and rejected
+    # again — i.e. the iteration has converged).
+    def step(_, carry):
+        T, r, J, cost = carry
         Jf = J.reshape(-1, 6)
         rf = r.reshape(-1)
         H = Jf.T @ Jf + 1e-6 * jnp.eye(6, dtype=T.dtype)
         g = Jf.T @ rf
         xi = -jnp.linalg.solve(H, g)
         T_new = se3.retract(T, xi)
-        # Accept only improving, finite steps.
-        better = jnp.sum(residuals(T_new) ** 2) < jnp.sum(rf * rf)
-        better = better & jnp.isfinite(T_new).all()
-        return jnp.where(better, T_new, T)
+        r_new, J_new = res_jac(T_new)
+        cost_new = jnp.sum(r_new * r_new)
+        better = (cost_new < cost) & jnp.isfinite(T_new).all()
+        return (
+            jnp.where(better, T_new, T),
+            jnp.where(better, r_new, r),
+            jnp.where(better, J_new, J),
+            jnp.where(better, cost_new, cost),
+        )
 
-    return jax.lax.fori_loop(0, iters, step, T_w2c)
+    r0, J0 = res_jac(T_w2c)
+    cost0 = jnp.sum(r0 * r0)
+    T_out, _, _, _ = jax.lax.fori_loop(
+        0, iters, step, (T_w2c, r0, J0, cost0)
+    )
+    return T_out
