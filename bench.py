@@ -33,7 +33,7 @@ import time
 import numpy as np
 
 H, W = 376, 1241
-BENCH_FRAMES = 48
+BENCH_FRAMES = 96  # 11 timed chunks: 5 was too few to amortize dispatch jitter
 CHUNK = 8
 BASELINE_FRAMES = 16  # timed frames (frame 0 is processed as warmup)
 BA_WINDOWS = 64
