@@ -129,6 +129,11 @@ def main() -> int:
 
     # ---- stage 2: frontend (checkpointed; resume-safe) -------------------
     ckpt = out / "frontend_ckpt.npz"
+    if STAGES.index("frontend") >= force_from:
+        # --force means recompute, not resume: wipe the old checkpoints,
+        # else run_frontend(resume=True) would just reload them.
+        for p in out.glob("frontend_ckpt*"):
+            p.unlink()
     if fresh("frontend", ckpt):
         t0 = time.perf_counter()
         fe = frontend_mod.run_frontend(

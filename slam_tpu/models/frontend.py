@@ -407,8 +407,28 @@ def _atomic_savez(path, **arrs) -> None:
     os.replace(str(tmp), str(path))
 
 
+def _frontend_fingerprint(cfg: SlamConfig) -> str:
+    """Hash of the config fields that determine frontend results.
+
+    Stored in the checkpoint meta so a resume under an edited config fails
+    loudly instead of silently stitching frames computed under two
+    different detector/matcher/RANSAC settings.
+    """
+    import dataclasses
+    import hashlib
+    import json
+
+    sub = {
+        k: dataclasses.asdict(getattr(cfg, k))
+        for k in ("features", "matching", "ransac")
+    }
+    sub["seed"] = cfg.seed
+    blob = json.dumps(sub, sort_keys=True).encode()
+    return hashlib.sha1(blob).hexdigest()[:16]
+
+
 def _save_checkpoint(path, seg_outs, seg_T_w2c, carry, T_carry, next_start,
-                     seg_idx: int):
+                     seg_idx: int, fingerprint: str = ""):
     """Incremental frontend checkpoint (reference ex4_v2.py:696-776:
     per-500-frame serialization + resume-from-middle).
 
@@ -429,6 +449,8 @@ def _save_checkpoint(path, seg_outs, seg_T_w2c, carry, T_carry, next_start,
         "next_start": np.int64(next_start),
         "num_segments": np.int64(seg_idx + 1),
     }
+    if fingerprint:
+        meta["cfg_fingerprint"] = np.str_(fingerprint)
     for k, v in (carry or {}).items():
         meta[f"carry_{k}"] = np.asarray(v)
     _atomic_savez(path, **meta)
@@ -467,7 +489,7 @@ def load_frontend_checkpoint(path):
 
 
 def _convert_legacy_checkpoint(path, outs, T_w2c_all, carry, T_carry,
-                               next_start) -> None:
+                               next_start, fingerprint: str = "") -> None:
     """Rewrite a legacy monolithic checkpoint as segment 0 + meta.
 
     Must happen BEFORE any further incremental save: _save_checkpoint
@@ -482,6 +504,8 @@ def _convert_legacy_checkpoint(path, outs, T_w2c_all, carry, T_carry,
         "next_start": np.int64(next_start),
         "num_segments": np.int64(1),
     }
+    if fingerprint:
+        meta["cfg_fingerprint"] = np.str_(fingerprint)
     for k, v in (carry or {}).items():
         meta[f"carry_{k}"] = np.asarray(v)
     # atomic: `path` is the only resume root — a crash mid-overwrite of
@@ -550,9 +574,20 @@ def run_frontend(
     first_start = 0
     seg_idx = 0
     legacy_ckpt = False
+    fingerprint = _frontend_fingerprint(cfg)
     if resume and checkpoint_path and Path(checkpoint_path).exists():
         with np.load(str(checkpoint_path)) as _z:
             legacy_ckpt = "num_segments" not in _z.files
+            if "cfg_fingerprint" in _z.files:
+                saved_fp = str(_z["cfg_fingerprint"])
+                if saved_fp != fingerprint:
+                    raise RuntimeError(
+                        f"frontend checkpoint {checkpoint_path} was written "
+                        f"under a different feature/matching/ransac config "
+                        f"(fingerprint {saved_fp} != {fingerprint}); delete "
+                        f"it (and its .segNNNN files) to recompute, or rerun "
+                        f"with the original config"
+                    )
         outs, T_w2c_all, carry, T_carry, first_start = (
             load_frontend_checkpoint(checkpoint_path)
         )
@@ -567,7 +602,7 @@ def run_frontend(
         # more chunks will be appended: migrate the monolithic file to the
         # segmented layout first so incremental saves cannot clobber it
         _convert_legacy_checkpoint(checkpoint_path, outs, T_w2c_all, carry,
-                                   T_carry, first_start)
+                                   T_carry, first_start, fingerprint)
     if not starts:  # checkpoint already covers the whole sequence
         return _assemble_result(outs, T_w2c_all, desc_chunks,
                                 _recompute_desc)
@@ -603,14 +638,14 @@ def run_frontend(
         done = start + n
         if checkpoint_path and done - last_ckpt >= checkpoint_every:
             _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry,
-                             T_carry, done, seg_idx)
+                             T_carry, done, seg_idx, fingerprint)
             last_ckpt = done
             seg_idx += 1
             seg_outs, seg_T = [], []
 
     if checkpoint_path and seg_outs:
         _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry, T_carry, F,
-                         seg_idx)
+                         seg_idx, fingerprint)
     return _assemble_result(outs, T_w2c_all, desc_chunks, _recompute_desc)
 
 

@@ -91,6 +91,35 @@ def test_legacy_monolithic_checkpoint_migrates(seq, tmp_path):
     np.testing.assert_array_equal(again.T_w2c, full.T_w2c)
 
 
+def test_resume_rejects_changed_config(seq, tmp_path):
+    """A checkpoint written under one detector/matcher/RANSAC config must
+    not be silently resumed under another (the stitched result would mix
+    frames computed under two configs)."""
+    scene, L, R = seq
+    ck = tmp_path / "fe_fp.npz"
+    frontend.run_frontend(L[:8], R[:8], scene.calib, CFG,
+                          checkpoint_path=str(ck), checkpoint_every=4)
+    changed = SlamConfig(
+        features=FeatureConfig(max_kp=256, border=8),
+        ransac=RansacConfig(num_hypotheses=64),  # != CFG's 96
+        runtime=RuntimeConfig(chunk_frames=4),
+    )
+    with pytest.raises(RuntimeError, match="different feature"):
+        frontend.run_frontend(L, R, scene.calib, changed,
+                              checkpoint_path=str(ck), checkpoint_every=4,
+                              resume=True)
+    # runtime-only changes (chunking, cache paths) must NOT invalidate
+    relaxed = SlamConfig(
+        features=FeatureConfig(max_kp=256, border=8),
+        ransac=RansacConfig(num_hypotheses=96),
+        runtime=RuntimeConfig(chunk_frames=4, compile_cache_dir=""),
+    )
+    resumed = frontend.run_frontend(L, R, scene.calib, relaxed,
+                                    checkpoint_path=str(ck),
+                                    checkpoint_every=4, resume=True)
+    assert resumed.T_w2c.shape[0] == L.shape[0]
+
+
 def test_resume_noop_when_complete(seq, tmp_path):
     scene, L, R = seq
     ck = tmp_path / "fe3.npz"
