@@ -44,11 +44,46 @@ from .precision import full_precision
 # residuals and analytic Jacobians
 # ---------------------------------------------------------------------------
 
+def _mv3(A, v):
+    """Batched (..., 3, 3) @ (..., 3) as explicit VPU mult-adds.
+
+    A dot_general with a 3-wide contraction lowers to padded micro-matmuls
+    on the MXU and pays the float32 emulation passes for nothing — the
+    einsum forms of these tiny contractions were the single largest cost
+    of the whole LM step (profiled on chip at bench shapes)."""
+    return (A[..., :, 0] * v[..., 0, None]
+            + A[..., :, 1] * v[..., 1, None]
+            + A[..., :, 2] * v[..., 2, None])
+
+
+def _mm33(A, B):
+    """Batched (..., 3, 3) @ (..., 3, 3) as explicit VPU mult-adds."""
+    return (A[..., :, 0, None] * B[..., 0, None, :]
+            + A[..., :, 1, None] * B[..., 1, None, :]
+            + A[..., :, 2, None] * B[..., 2, None, :])
+
+
+def _outer3(Ja, Jb):
+    """(..., 3, a), (..., 3, b) -> (..., a, b): sum_i Ja[i]^T Jb[i] over
+    the 3 residual rows (einsum "mia,mib->mab"), as VPU mult-adds."""
+    return (Ja[..., 0, :, None] * Jb[..., 0, None, :]
+            + Ja[..., 1, :, None] * Jb[..., 1, None, :]
+            + Ja[..., 2, :, None] * Jb[..., 2, None, :])
+
+
+def _jtr3(J, r):
+    """(..., 3, a), (..., 3) -> (..., a): J^T r over the 3 residual rows
+    (einsum "mij,mi->mj"), as VPU mult-adds."""
+    return (J[..., 0, :] * r[..., 0, None]
+            + J[..., 1, :] * r[..., 1, None]
+            + J[..., 2, :] * r[..., 2, None])
+
+
 def _residuals(poses, points, cam_idx, lm_idx, meas, w, calib):
     """Weighted stereo reprojection residuals (M, 3)."""
     T = poses[cam_idx]                      # (M, 4, 4)
     X = points[lm_idx]                      # (M, 3)
-    Xc = jnp.einsum("mij,mj->mi", T[:, :3, :3], X) + T[:, :3, 3]
+    Xc = _mv3(T[:, :3, :3], X) + T[:, :3, 3]
     pred = stereo.project(calib, Xc)
     return (pred - meas) * w[:, None], Xc
 
@@ -78,9 +113,9 @@ def _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc):
     )
     R = poses[cam_idx][:, :3, :3]           # (M, 3, 3)
     X = points[lm_idx]                      # (M, 3) window frame
-    JR = jnp.einsum("mab,mbc->mac", Jproj, R)          # (M, 3, 3)
+    JR = _mm33(Jproj, R)                               # (M, 3, 3)
     J_lm = JR * w[:, None, None]
-    J_rot = -jnp.einsum("mab,mbc->mac", JR, se3.hat(X))  # (M, 3, 3)
+    J_rot = -_mm33(JR, se3.hat(X))                     # (M, 3, 3)
     J_pose = jnp.concatenate([J_rot, JR], axis=-1) * w[:, None, None]  # (M,3,6)
     return J_pose, J_lm
 
@@ -92,22 +127,16 @@ def _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc):
 def _build_blocks_scatter(J_pose, J_lm, r, cam_idx, lm_idx, P, L):
     """Gradient/Hessian blocks via XLA scatter-add (.at[].add)."""
     dtype = J_pose.dtype
-    g_p = jnp.zeros((P, 6), dtype).at[cam_idx].add(
-        jnp.einsum("mij,mi->mj", J_pose, r)
-    )
-    g_l = jnp.zeros((L, 3), dtype).at[lm_idx].add(
-        jnp.einsum("mij,mi->mj", J_lm, r)
-    )
+    g_p = jnp.zeros((P, 6), dtype).at[cam_idx].add(_jtr3(J_pose, r))
+    g_l = jnp.zeros((L, 3), dtype).at[lm_idx].add(_jtr3(J_lm, r))
     Hpp = jnp.zeros((P, 6, 6), dtype).at[cam_idx].add(
-        jnp.einsum("mia,mib->mab", J_pose, J_pose)
+        _outer3(J_pose, J_pose)
     )
-    Hll = jnp.zeros((L, 3, 3), dtype).at[lm_idx].add(
-        jnp.einsum("mia,mib->mab", J_lm, J_lm)
-    )
+    Hll = jnp.zeros((L, 3, 3), dtype).at[lm_idx].add(_outer3(J_lm, J_lm))
     # cross blocks: each (pose, landmark) pair has exactly one observation,
     # scattered into a dense (L, P, 6, 3) tensor — the Schur engine.
     Wc = jnp.zeros((L, P, 6, 3), dtype).at[lm_idx, cam_idx].add(
-        jnp.einsum("mia,mib->mab", J_pose, J_lm)
+        _outer3(J_pose, J_lm)
     )
     return g_p, g_l, Hpp, Hll, Wc
 
@@ -123,13 +152,13 @@ def _build_blocks_onehot(J_pose, J_lm, r, oc, ol, P, L):
     ol^T (a (L, M) @ (M, P*18) matmul). The one-hots are built once per
     solve (indices are static across LM iterations).
     """
-    g_p = oc.T @ jnp.einsum("mij,mi->mj", J_pose, r)               # (P, 6)
-    g_l = ol.T @ jnp.einsum("mij,mi->mj", J_lm, r)                 # (L, 3)
-    opp = jnp.einsum("mia,mib->mab", J_pose, J_pose).reshape(-1, 36)
+    g_p = oc.T @ _jtr3(J_pose, r)                                  # (P, 6)
+    g_l = ol.T @ _jtr3(J_lm, r)                                    # (L, 3)
+    opp = _outer3(J_pose, J_pose).reshape(-1, 36)
     Hpp = (oc.T @ opp).reshape(P, 6, 6)
-    oll = jnp.einsum("mia,mib->mab", J_lm, J_lm).reshape(-1, 9)
+    oll = _outer3(J_lm, J_lm).reshape(-1, 9)
     Hll = (ol.T @ oll).reshape(L, 3, 3)
-    opl = jnp.einsum("mia,mib->mab", J_pose, J_lm).reshape(-1, 18)  # (M, 18)
+    opl = _outer3(J_pose, J_lm).reshape(-1, 18)                    # (M, 18)
     z = oc[:, :, None] * opl[:, None, :]                            # (M, P, 18)
     Wc = (ol.T @ z.reshape(-1, P * 18)).reshape(L, P, 6, 3)
     return g_p, g_l, Hpp, Hll, Wc
@@ -184,7 +213,9 @@ def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
     Hll_inv = _inv3x3(Hll_d)  # (L, 3, 3) closed-form batched inverses
 
     # reduced (Schur) system on poses — flat MXU matmuls over (L*3)
-    WHinv = jnp.einsum("lpab,lbc->lpac", Wc, Hll_inv)       # (L, P, 6, 3)
+    WHinv = (Wc[..., 0, None] * Hll_inv[:, None, None, 0, :]
+             + Wc[..., 1, None] * Hll_inv[:, None, None, 1, :]
+             + Wc[..., 2, None] * Hll_inv[:, None, None, 2, :])  # (L, P, 6, 3)
     A = jnp.transpose(WHinv, (1, 2, 0, 3)).reshape(P * 6, L * 3)
     Bm = jnp.transpose(Wc, (1, 2, 0, 3)).reshape(P * 6, L * 3)
     U = (A @ Bm.T).reshape(P, 6, P, 6)
@@ -207,7 +238,7 @@ def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
 
     # back-substitute landmarks: dl = -Hll^-1 (g_l + W^T dp)
     Wt_dp = (Bm.T @ dp.reshape(P * 6)).reshape(L, 3)
-    dl = -jnp.einsum("lab,lb->la", Hll_inv, g_l + Wt_dp)
+    dl = -_mv3(Hll_inv, g_l + Wt_dp)
     return dp, dl
 
 
@@ -230,7 +261,12 @@ def _huber_weights(r: jnp.ndarray, delta: float) -> jnp.ndarray:
 
 def default_engine() -> str:
     """Schur-block engine by backend: matmul contraction feeds the MXU on
-    accelerators; scatter-add is smaller and faster on CPU hosts."""
+    accelerators; scatter-add is smaller and faster on CPU hosts.
+
+    (A third engine — inverting the index maps once per solve and building
+    the blocks by one (L, P, 72) gather — was prototyped and measured 1.9x
+    SLOWER than one-hot matmuls on TPU at bench shapes: the random-access
+    gather loses to the MXU even at 6-pass f32 emulation.)"""
     import jax as _jax
 
     return "scatter" if _jax.default_backend() == "cpu" else "onehot"
@@ -380,7 +416,9 @@ def pose_covariances(poses, points, cam_idx, lm_idx, meas, w, calib):
     _, _, Hpp, Hll, Wc = _build_blocks_onehot(J_pose, J_lm, r, oc, ol, P, L)
     eyeL = jnp.eye(3, dtype=dtype)
     Hll_inv = _inv3x3(Hll + 1e-6 * eyeL[None])
-    WHinv = jnp.einsum("lpab,lbc->lpac", Wc, Hll_inv)
+    WHinv = (Wc[..., 0, None] * Hll_inv[:, None, None, 0, :]
+             + Wc[..., 1, None] * Hll_inv[:, None, None, 1, :]
+             + Wc[..., 2, None] * Hll_inv[:, None, None, 2, :])
     A = jnp.transpose(WHinv, (1, 2, 0, 3)).reshape(P * 6, L * 3)
     Bm = jnp.transpose(Wc, (1, 2, 0, 3)).reshape(P * 6, L * 3)
     U = (A @ Bm.T).reshape(P, 6, P, 6)
