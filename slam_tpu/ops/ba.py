@@ -44,23 +44,11 @@ from .precision import full_precision
 # residuals and analytic Jacobians
 # ---------------------------------------------------------------------------
 
-def _mv3(A, v):
-    """Batched (..., 3, 3) @ (..., 3) as explicit VPU mult-adds.
-
-    A dot_general with a 3-wide contraction lowers to padded micro-matmuls
-    on the MXU and pays the float32 emulation passes for nothing — the
-    einsum forms of these tiny contractions were the single largest cost
-    of the whole LM step (profiled on chip at bench shapes)."""
-    return (A[..., :, 0] * v[..., 0, None]
-            + A[..., :, 1] * v[..., 1, None]
-            + A[..., :, 2] * v[..., 2, None])
-
-
-def _mm33(A, B):
-    """Batched (..., 3, 3) @ (..., 3, 3) as explicit VPU mult-adds."""
-    return (A[..., :, 0, None] * B[..., 0, None, :]
-            + A[..., :, 1, None] * B[..., 1, None, :]
-            + A[..., :, 2, None] * B[..., 2, None, :])
+# 3-wide contractions as explicit VPU mult-adds: see se3.mv3/se3.mm33 for
+# why (a 3-wide dot_general lowers to padded micro-matmuls on the MXU and
+# pays the f32-emulation passes; profiled as the largest LM-step cost).
+_mv3 = se3.mv3
+_mm33 = se3.mm33
 
 
 def _outer3(Ja, Jb):

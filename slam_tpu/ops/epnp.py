@@ -251,8 +251,8 @@ def refine_pose_gn(
             axis=-2,
         )  # (N, 3, 3)
         R = T[:3, :3]
-        JR = jnp.einsum("nab,bc->nac", Jproj, R)
-        J_rot = -jnp.einsum("nab,nbc->nac", JR, se3.hat(pw))
+        JR = se3.mm33(Jproj, R)
+        J_rot = -se3.mm33(JR, se3.hat(pw))
         J = jnp.concatenate([J_rot, JR], axis=-1)  # (N, 3, 6)
         return r, J * weights[:, None, None]
 

@@ -34,6 +34,31 @@ _SMALL_THETA2 = 1e-3
 
 
 # ---------------------------------------------------------------------------
+# small-matrix algebra (explicit VPU forms)
+# ---------------------------------------------------------------------------
+
+def mv3(A: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3) as explicit VPU mult-adds.
+
+    A dot_general with a 3-wide contraction lowers to padded micro-matmuls
+    on the TPU MXU and pays the float32-emulation passes for nothing —
+    profiled on chip, the einsum forms of these tiny contractions dominated
+    the BA LM step (see ops/ba.py). Same speedup applies everywhere the
+    geometry code touches batched 3x3 blocks.
+    """
+    return (A[..., :, 0] * v[..., 0, None]
+            + A[..., :, 1] * v[..., 1, None]
+            + A[..., :, 2] * v[..., 2, None])
+
+
+def mm33(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3, 3) as explicit VPU mult-adds."""
+    return (A[..., :, 0, None] * B[..., 0, None, :]
+            + A[..., :, 1, None] * B[..., 1, None, :]
+            + A[..., :, 2, None] * B[..., 2, None, :])
+
+
+# ---------------------------------------------------------------------------
 # SO(3)
 # ---------------------------------------------------------------------------
 
@@ -65,7 +90,7 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
-    W2 = W @ W
+    W2 = mm33(W, W)
     # sin(t)/t and (1-cos(t))/t^2. (1-cos) is computed as 2 sin^2(t/2) —
     # in float32 cos(t) rounds to exactly 1.0 for t < ~3.5e-4, which made
     # the naive form produce b=0 (and inf/NaN downstream in se3_log) for
@@ -162,7 +187,7 @@ def inverse(T: jnp.ndarray) -> jnp.ndarray:
     R = rot(T)
     t = trans(T)
     Rt = jnp.swapaxes(R, -1, -2)
-    return make_T(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+    return make_T(Rt, -mv3(Rt, t))
 
 
 def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
@@ -179,7 +204,10 @@ def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 4, 4) to points (..., N, 3) -> (..., N, 3)."""
     R = rot(T)
     t = trans(T)
-    return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+    out = (pts[..., :, 0, None] * R[..., None, :, 0]
+           + pts[..., :, 1, None] * R[..., None, :, 1]
+           + pts[..., :, 2, None] * R[..., None, :, 2])
+    return out + t[..., None, :]
 
 
 def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
@@ -189,7 +217,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
-    W2 = W @ W
+    W2 = mm33(W, W)
     small = theta2 < _SMALL_THETA2
     s_half = jnp.sin(0.5 * theta)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
@@ -200,7 +228,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     R = eye + a[..., None, None] * W + b[..., None, None] * W2
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
-    t = jnp.einsum("...ij,...j->...i", V, v)
+    t = mv3(V, v)
     return make_T(R, t)
 
 
@@ -212,7 +240,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = hat(w)
-    W2 = W @ W
+    W2 = mm33(W, W)
     small = theta2 < _SMALL_THETA2
     # V^{-1} = I - W/2 + (1/theta^2)(1 - a/(2b)) W^2, where
     # 1 - a/(2b) = 1 - (theta/2) cot(theta/2). The naive a/b form divides
@@ -231,7 +259,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     Vinv = eye - 0.5 * W + coef[..., None, None] * W2
-    v = jnp.einsum("...ij,...j->...i", Vinv, t)
+    v = mv3(Vinv, t)
     return jnp.concatenate([w, v], axis=-1)
 
 
