@@ -24,7 +24,11 @@ import numpy as np
 
 from ..ops import pose_graph as pg_ops
 
-_EDGE_PAD = 64  # edge capacity grows in blocks to limit recompilation
+_EDGE_PAD = 64   # edge capacity grows in blocks to limit recompilation
+_NODE_PAD = 64   # node capacity too: the dense (6N)^2 solve and the gate
+_PAIR_PAD = 8192  # sweep recompile per exact keyframe count otherwise
+#                   (observed at scale: 651 -> 653 keyframes re-paid an
+#                   87 s pose-graph compile + 113 s gate compile)
 
 
 def sqrt_info_from_cov(cov: np.ndarray, eps: float = 1e-10) -> np.ndarray:
@@ -101,40 +105,70 @@ class PoseGraph:
         valid = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
         return e_i, e_j, Z, si, valid
 
+    def _padded_nodes(self):
+        """Nodes padded to the _NODE_PAD bucket (identity fill + validity
+        mask) so the compiled dense solves are reused across nearby
+        keyframe counts."""
+        N = self.num_nodes
+        cap = ((N + _NODE_PAD - 1) // _NODE_PAD) * _NODE_PAD
+        pad = cap - N
+        nodes = np.concatenate(
+            [self.nodes, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))]
+        )
+        n_valid = np.concatenate([np.ones(N, bool), np.zeros(pad, bool)])
+        return nodes, n_valid
+
     def optimize(self, iters: int = 15) -> float:
         """LM re-optimization of all nodes (reference pose_graph.py:98-103).
         Returns final cost."""
         e_i, e_j, Z, si, valid = self._padded_edges()
+        nodes_p, n_valid = self._padded_nodes()
         nodes, cost = pg_ops.optimize(
-            jnp.asarray(self.nodes), jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(nodes_p), jnp.asarray(e_i), jnp.asarray(e_j),
             jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid), iters=iters,
+            n_valid=jnp.asarray(n_valid),
         )
-        self.nodes = np.asarray(nodes)
+        self.nodes = np.asarray(nodes)[: self.num_nodes]
         return float(cost)
 
     # ------------------------------------------------------------------
     def covariance_full(self) -> np.ndarray:
         """(N, 6, N, 6) posterior covariance (see ops gn_hessian_inverse)."""
         e_i, e_j, Z, si, valid = self._padded_edges()
-        return np.asarray(
+        nodes_p, n_valid = self._padded_nodes()
+        N = self.num_nodes
+        C = np.asarray(
             pg_ops.gn_hessian_inverse(
-                jnp.asarray(self.nodes), jnp.asarray(e_i), jnp.asarray(e_j),
+                jnp.asarray(nodes_p), jnp.asarray(e_i), jnp.asarray(e_j),
                 jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid),
+                n_valid=jnp.asarray(n_valid),
             )
         )
+        return C[:N, :, :N, :]
 
     def gate_distances(self, pair_i: np.ndarray, pair_j: np.ndarray) -> np.ndarray:
         """Mahalanobis gating distances for candidate pairs, computed in one
         fused device call (posterior inverse + batched quadratic forms); only
-        the (P,) distances cross the host link, never the (6N, 6N) covariance."""
+        the (P,) distances cross the host link, never the (6N, 6N) covariance.
+        Pairs are padded to the _PAIR_PAD bucket (the sweep count N(N-1)/2
+        would otherwise bake the exact keyframe count into the compile)."""
         e_i, e_j, Z, si, valid = self._padded_edges()
-        return np.asarray(
+        nodes_p, n_valid = self._padded_nodes()
+        P = len(pair_i)
+        cap = max(_PAIR_PAD, ((P + _PAIR_PAD - 1) // _PAIR_PAD) * _PAIR_PAD)
+        pi = np.zeros(cap, np.int32)
+        pj = np.zeros(cap, np.int32)
+        pi[:P] = pair_i
+        pj[:P] = pair_j
+        d = np.asarray(
             pg_ops.gate_matrix(
-                jnp.asarray(self.nodes), jnp.asarray(e_i), jnp.asarray(e_j),
+                jnp.asarray(nodes_p), jnp.asarray(e_i), jnp.asarray(e_j),
                 jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid),
-                jnp.asarray(pair_i), jnp.asarray(pair_j),
+                jnp.asarray(pi), jnp.asarray(pj),
+                n_valid=jnp.asarray(n_valid),
             )
         )
+        return d[:P]
 
     def marginal(self, i: int, C: np.ndarray | None = None) -> np.ndarray:
         C = self.covariance_full() if C is None else C

@@ -57,6 +57,18 @@ def _edge_res_jac(Xi, Xj, Z_inv, sqrt_info):
     return r, J[:, :6], J[:, 6:]
 
 
+def _node_mask(N, dtype, n_valid):
+    """(6N,) gauge+padding mask: 0 for node 0 (gauge) and for padded
+    (invalid) nodes, 1 elsewhere. Padded nodes become identity rows of the
+    normal equations, so node-count bucketing (models/pose_graph.py) reuses
+    one compiled kernel across nearby keyframe counts."""
+    if n_valid is None:
+        node_mask = jnp.ones(N, dtype).at[0].set(0.0)
+    else:
+        node_mask = n_valid.astype(dtype).at[0].set(0.0)
+    return jnp.repeat(node_mask, 6)
+
+
 @partial(jax.jit, static_argnames=("iters",))
 @full_precision
 def optimize(
@@ -68,6 +80,7 @@ def optimize(
     e_valid: jnp.ndarray,    # (E,) bool (padding mask)
     iters: int = 15,
     lam0: float = 1e-6,
+    n_valid: jnp.ndarray | None = None,  # (N,) bool node padding mask
 ):
     """LM over the pose graph; node 0 frozen. Returns (nodes, cost)."""
     N = nodes.shape[0]
@@ -100,10 +113,8 @@ def optimize(
         g = g.at[e_j].add(jnp.einsum("eai,ea->ei", Jj, r))
         H = H.reshape(6 * N, 6 * N)
         g = g.reshape(6 * N)
-        # gauge: freeze node 0
-        mask = jnp.concatenate(
-            [jnp.zeros(6, dtype), jnp.ones(6 * (N - 1), dtype)]
-        )
+        # gauge: freeze node 0 (and any padded nodes)
+        mask = _node_mask(N, dtype, n_valid)
         H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
         g = g * mask
         # Jacobi preconditioning: the raw diagonal spans ~1 (gauge) to
@@ -136,7 +147,7 @@ def optimize(
     return nodes, cost
 
 
-def _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid):
+def _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid, n_valid=None):
     """Trace-time body shared by :func:`gn_hessian_inverse` (returns the
     full covariance) and :func:`gate_matrix` (consumes it on device)."""
     N = nodes.shape[0]
@@ -152,7 +163,7 @@ def _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid):
     H = H.at[e_i, :, e_j, :].add(jnp.einsum("eai,eaj->eij", Ji, Jj))
     H = H.at[e_j, :, e_i, :].add(jnp.einsum("eai,eaj->eij", Jj, Ji))
     H = H.reshape(6 * N, 6 * N)
-    mask = jnp.concatenate([jnp.zeros(6, dtype), jnp.ones(6 * (N - 1), dtype)])
+    mask = _node_mask(N, dtype, n_valid)
     H = H * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
     # Jacobi-preconditioned inverse: C = S (S H S)^-1 S with S=diag(H)^-1/2.
     # Without the scaling the f32 inverse of the (6N, 6N) matrix is garbage
@@ -172,18 +183,19 @@ def _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid):
 
 @jax.jit
 @full_precision
-def gn_hessian_inverse(nodes, e_i, e_j, Z, sqrt_info, e_valid):
+def gn_hessian_inverse(nodes, e_i, e_j, Z, sqrt_info, e_valid, n_valid=None):
     """Full (6N, 6N) covariance = inverse Gauss-Newton Hessian at ``nodes``
     with node 0 gauge-fixed. One dense inverse serves *all* marginal /
     joint covariance queries of loop closure — replacing the reference's
     per-pair Dijkstra + covariance-chain machinery with a single
     linear-algebra object (SURVEY.md §7 build plan item 8)."""
-    return _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid)
+    return _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid, n_valid)
 
 
 @jax.jit
 @full_precision
-def gate_matrix(nodes, e_i, e_j, Z, sqrt_info, e_valid, pair_i, pair_j):
+def gate_matrix(nodes, e_i, e_j, Z, sqrt_info, e_valid, pair_i, pair_j,
+                n_valid=None):
     """Fused posterior refresh + Mahalanobis sweep: inverts the pose-graph
     Hessian and prices every (pair_i, pair_j) candidate pair WITHOUT the
     covariance ever leaving the device. Returns (P,) distances.
@@ -192,7 +204,7 @@ def gate_matrix(nodes, e_i, e_j, Z, sqrt_info, e_valid, pair_i, pair_j):
     moves the (6N, 6N) covariance across the host link twice per posterior
     refresh — ~120 MB at N=651 — for a result that is only ~N^2 floats.
     """
-    C = _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid)
+    C = _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid, n_valid)
     return mahalanobis_batched(C, nodes, pair_i, pair_j)
 
 

@@ -165,6 +165,73 @@ def test_mahalanobis_gate_prefers_loop():
     assert d_loop < 0.2 * d_mid, (d_loop, d_mid)
 
 
+def test_node_padding_equivalence():
+    """Node-count bucketing (models/pose_graph._NODE_PAD): the padded ops
+    calls must reproduce the unpadded solution — padded nodes are identity
+    rows of the normal equations, fully decoupled from the valid block."""
+    N = 12
+    T_gt, Z = make_chain(jax.random.PRNGKey(7), N=N, drift=0.03)
+    T0 = chained(Z, N)
+    e_i = np.arange(N - 1, dtype=np.int32)
+    e_j = np.arange(1, N, dtype=np.int32)
+    si = np.tile(np.eye(6, dtype=np.float32) * 30.0, (N - 1, 1, 1))
+    valid = np.ones(N - 1, bool)
+
+    # unpadded ops call (n_valid=None)
+    nodes_u, cost_u = pg_ops.optimize(
+        jnp.asarray(T0), jnp.asarray(e_i), jnp.asarray(e_j),
+        jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid), iters=10,
+    )
+    # padded: 12 nodes in a 32-node buffer
+    pad = 32 - N
+    T0p = np.concatenate([T0, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+    n_valid = np.concatenate([np.ones(N, bool), np.zeros(pad, bool)])
+    nodes_p, cost_p = pg_ops.optimize(
+        jnp.asarray(T0p), jnp.asarray(e_i), jnp.asarray(e_j),
+        jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid), iters=10,
+        n_valid=jnp.asarray(n_valid),
+    )
+    np.testing.assert_allclose(
+        np.asarray(nodes_p)[:N], np.asarray(nodes_u), atol=5e-4
+    )
+    # padded nodes stay exactly at identity
+    np.testing.assert_array_equal(
+        np.asarray(nodes_p)[N:], np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))
+    )
+    assert abs(float(cost_p) - float(cost_u)) < 1e-3 * max(1.0, float(cost_u))
+
+    # gate distances: padded vs unpadded covariance agree. Evaluate both
+    # at the SAME linearization point (nodes_u padded with identity) so the
+    # comparison isolates padding semantics, not f32 solver-path noise —
+    # two independent optimize() runs converge to points ~5e-4 apart, which
+    # amplifies to ~1% on the Mahalanobis quadratic forms.
+    ii, jj = np.tril_indices(N, k=-1)
+    d_u = np.asarray(pg_ops.gate_matrix(
+        nodes_u, jnp.asarray(e_i), jnp.asarray(e_j),
+        jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid),
+        jnp.asarray(jj.astype(np.int32)), jnp.asarray(ii.astype(np.int32)),
+    ))
+    # pair padding: extra (0, 0) lanes must not disturb real lanes
+    P = len(ii)
+    pi = np.zeros(P + 17, np.int32)
+    pj = np.zeros(P + 17, np.int32)
+    pi[:P] = jj
+    pj[:P] = ii
+    nodes_up = jnp.concatenate(
+        [nodes_u, jnp.tile(jnp.eye(4, dtype=jnp.float32), (pad, 1, 1))]
+    )
+    d_p = np.asarray(pg_ops.gate_matrix(
+        nodes_up, jnp.asarray(e_i), jnp.asarray(e_j),
+        jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid),
+        jnp.asarray(pi), jnp.asarray(pj),
+        n_valid=jnp.asarray(n_valid),
+    ))
+    # rtol: the padded (6*32)^2 f32 inverse takes a different LU blocking
+    # path than the unpadded (6*12)^2 one, so ~1% rounding divergence on
+    # the quadratic forms is expected (the gate thresholds at 220).
+    np.testing.assert_allclose(d_p[:P], d_u, rtol=2e-2, atol=1e-4)
+
+
 def test_save_load_roundtrip(tmp_path):
     N = 6
     T_gt, Z = make_chain(jax.random.PRNGKey(4), N=N, drift=0.01)
