@@ -33,6 +33,8 @@ def main() -> int:
     ap.add_argument("--out", type=Path, default=Path("/tmp/descbench"))
     ap.add_argument("--hw", type=int, nargs=2, default=[376, 1241])
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--variants", nargs="+", default=None,
+                    help="run only these variants (default: all)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -70,7 +72,17 @@ def main() -> int:
         # NORM_HAMMING mode (reference matching.py:21): binarized
         # descriptors matched by exact MXU popcount (ops/binary.py)
         "hamming": SlamConfig(matching=MatchConfig(norm="hamming")),
+        # ORB family (ops/orb.py): FAST-9 + steered BRIEF bits, matched
+        # as NORM_HAMMING (its native metric)
+        "orb": SlamConfig(
+            features=FeatureConfig(detector="orb"),
+            matching=MatchConfig(norm="hamming", max_hamming=40.0)),
     }
+    if args.variants:
+        unknown = set(args.variants) - set(variants)
+        if unknown:
+            raise SystemExit(f"unknown variants: {sorted(unknown)}")
+        variants = {k: variants[k] for k in args.variants}
     summary = {}
     for name, cfg in variants.items():
         t0 = time.perf_counter()

@@ -23,8 +23,11 @@ class FeatureConfig:
     border: int = 12            # detection border margin (px)
     min_response: float = 1e-7  # Harris response floor
     num_levels: int = 1         # pyramid octaves (ref AKAZE: 4 octaves)
-    detector: str = "harris"    # "harris" | "akaze" (nonlinear scale space)
+    # "harris" | "akaze" (nonlinear scale space) | "orb" (FAST-9 + steered
+    # BRIEF bits; pairs naturally with matching.norm="hamming")
+    detector: str = "harris"
     akaze_threshold: float = 8e-4  # ref matching.py:20
+    fast_threshold: float = 0.06   # FAST ring contrast gate, unit-scale images
 
 
 @dataclass(frozen=True)

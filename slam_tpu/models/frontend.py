@@ -172,6 +172,15 @@ def _detect_describe(imgs: jnp.ndarray, cfg: SlamConfig):
             imgs, max_kp=K, octaves=max(levels, 2),
             threshold=cfg.features.akaze_threshold,
         ), cfg)
+    if cfg.features.detector == "orb":
+        from ..ops import orb
+
+        # already ±1/sqrt(D) bit signs: exact under norm="hamming" (the
+        # binarization recovers the same bits) and an affine map of
+        # Hamming distance under norm="l2" — no extra handling needed.
+        return _maybe_binarize(orb.detect_and_describe_orb_batch(
+            imgs, max_kp=K, threshold=cfg.features.fast_threshold,
+        ), cfg)
     if levels > 1:
         out = features.detect_and_describe_multiscale_batch(
             imgs, max_kp=K, num_levels=levels

@@ -324,7 +324,7 @@ def harris_response_batch(imgs: jnp.ndarray, k: float = 0.05,
             jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype),
         ),
         grid=(F, n_t),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, T, CP), lambda f, t: (f, t, 0),
                          memory_space=pltpu.VMEM),
@@ -477,7 +477,7 @@ def orientation_cell_maps_batch(imgs: jnp.ndarray,
         functools.partial(_orient_kernel, gw=gw),
         out_shape=jax.ShapeDtypeStruct((F, 8, Hp, CP), imgs.dtype),
         grid=(F, n_t),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 8, T, CP), lambda f, t: (f, 0, t, 0), memory_space=pltpu.VMEM
         ),
@@ -622,7 +622,7 @@ def akaze_octave_batch(imgs: jnp.ndarray, k: jnp.ndarray, steps: int = 6,
             # indexes it by program id
             pl.BlockSpec((imgs.shape[0], 1), lambda f, t: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(ospec, ospec, ospec),
         scratch_shapes=[
