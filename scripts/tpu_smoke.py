@@ -64,6 +64,8 @@ def main() -> int:
                    lambda im: pk.harris_response_batch(im), (imgs,)))
     checks.append(("orientation_cell_maps_batch",
                    lambda im: pk.orientation_cell_maps_batch(im), (imgs,)))
+    checks.append(("detect_maps_batch",
+                   lambda im: pk.detect_maps_batch(im), (imgs,)))
     kvals = jnp.full((2,), 0.01, jnp.float32)
     checks.append(("akaze_octave_batch",
                    lambda im, kv: pk.akaze_octave_batch(im, kv),

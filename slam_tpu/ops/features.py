@@ -358,8 +358,7 @@ def detect_and_describe_batch(imgs: jnp.ndarray,
     if use_pallas:
         from . import pallas_kernels as pk
 
-        resp, resp_nms = pk.harris_response_batch(imgs)
-        maps = pk.orientation_cell_maps_batch(imgs)
+        resp, resp_nms, maps = pk.detect_maps_batch(imgs)
         return jax.vmap(
             lambda im, r, rn, mp: detect_and_describe(
                 im, max_kp=max_kp, resp=r, resp_nms=rn, maps=mp)
@@ -459,8 +458,7 @@ def detect_and_describe_multiscale_batch(
         if use_pallas:
             from . import pallas_kernels as pk
 
-            resp, resp_nms = pk.harris_response_batch(level_imgs)
-            maps = pk.orientation_cell_maps_batch(level_imgs)
+            resp, resp_nms, maps = pk.detect_maps_batch(level_imgs)
 
             def one(im, r, rn, mp, k=k, border=border):
                 det = detect(im, max_kp=k, border=border, resp=r,

@@ -491,6 +491,161 @@ def orientation_cell_maps_batch(imgs: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# fused detection maps: Harris response + NMS + orientation-cell maps
+# ---------------------------------------------------------------------------
+#
+# The default detector consumes BOTH harris_response_batch and
+# orientation_cell_maps_batch for every image. Run separately, each call
+# pays its own zero-canvas build (an HBM copy of the whole image batch),
+# its own DMA of every image row, and its own kernel launch chain. This
+# kernel produces all ten per-pixel channels the detector needs — the raw
+# Harris response, the 5x5-suppressed response, and the 8 soft-binned
+# orientation box sums — from ONE canvas and ONE halo'd row-tile DMA.
+# Bodies are identical to the two standalone kernels (kept for the AKAZE
+# path and for ablation), so parity tests against the jnp references
+# carry over unchanged.
+
+FUSED_TILE = 56       # output rows per program (10 channels resident)
+
+
+def _detect_maps_kernel(img_ref, resp_ref, nms_ref, maps_ref, buf, sem,
+                        *, k, gw_h, gw_o):
+    t = pl.program_id(1)
+    f = pl.program_id(0)
+    T = FUSED_TILE
+    R = T + 2 * _HHALO
+    dma = pltpu.make_async_copy(
+        img_ref.at[f, pl.ds(t * T, R), :], buf, sem
+    )
+    dma.start()
+    dma.wait()
+    x = buf[:]                                   # (R, C) float32
+
+    def roll(z, s):
+        if s == 0:
+            return z
+        return pltpu.roll(z, (-s) % z.shape[1], 1)
+
+    # ---- Harris branch (sobel on the RAW image; blur sigma 1.5) ----
+    sr = x[0 : R - 2] + 2.0 * x[1 : R - 1] + x[2:R]      # (R-2, C)
+    gx = (roll(sr, 1) - roll(sr, -1)) * 0.125
+    sc = roll(x, 1) + 2.0 * x + roll(x, -1)
+    gy = (sc[2:R] - sc[0 : R - 2]) * 0.125               # (R-2, C)
+
+    def blur(z, gw):                                     # (Rz,C) -> (Rz-4,C)
+        Rz = z.shape[0]
+        rows = (gw[0] * z[0 : Rz - 4] + gw[1] * z[1 : Rz - 3]
+                + gw[2] * z[2 : Rz - 2] + gw[3] * z[3 : Rz - 1]
+                + gw[4] * z[4:Rz])
+        return (gw[0] * roll(rows, -2) + gw[1] * roll(rows, -1)
+                + gw[2] * rows + gw[3] * roll(rows, 1)
+                + gw[4] * roll(rows, 2))
+
+    gxx = blur(gx * gx, gw_h)
+    gyy = blur(gy * gy, gw_h)
+    gxy = blur(gx * gy, gw_h)
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    resp = det - k * tr * tr             # rows = buf rows +3; 5 surplus/side
+    resp_ref[0] = resp[5 : 5 + T]
+    Rr = resp.shape[0]
+    rows_m = jnp.maximum(
+        jnp.maximum(jnp.maximum(resp[0 : Rr - 4], resp[1 : Rr - 3]),
+                    jnp.maximum(resp[2 : Rr - 2], resp[3 : Rr - 1])),
+        resp[4:Rr],
+    )
+    m = jnp.maximum(
+        jnp.maximum(jnp.maximum(roll(rows_m, -2), roll(rows_m, -1)),
+                    jnp.maximum(roll(rows_m, 1), roll(rows_m, 2))),
+        rows_m,
+    )
+    center = resp[5 : 5 + T]
+    keep = center >= m[3 : 3 + T]
+    nms_ref[0] = jnp.where(keep, center, -jnp.inf)
+
+    # ---- orientation branch (blur sigma 1.0 FIRST, then sobel) ----
+    b = blur(x, gw_o)                              # (R-4, C), buf row +2
+    Rb = b.shape[0]
+    sr2 = b[0 : Rb - 2] + 2.0 * b[1 : Rb - 1] + b[2:Rb]
+    ogx = (roll(sr2, 1) - roll(sr2, -1)) * 0.125   # (R-6, C), buf row +3
+    sc2 = roll(b, 1) + 2.0 * b + roll(b, -1)
+    ogy = (sc2[2:Rb] - sc2[0 : Rb - 2]) * 0.125
+
+    mag = jnp.sqrt(ogx * ogx + ogy * ogy + 1e-12)
+    ang = _atan2_approx(ogy, ogx)
+    bin_f = (ang + jnp.float32(jnp.pi)) / jnp.float32(2.0 * jnp.pi) * 8.0
+    b0 = jnp.floor(bin_f)
+    w1 = bin_f - b0
+    w0 = 1.0 - w1
+    b0i = b0.astype(jnp.int32) % 8
+    b1i = (b0i + 1) % 8
+    m0 = mag * w0
+    m1 = mag * w1
+
+    Rg = ogx.shape[0]                              # R-6
+    for o in range(8):
+        ch = jnp.where(b0i == o, m0, 0.0) + jnp.where(b1i == o, m1, 0.0)
+        rows = ch[0 : Rg - 3] + ch[1 : Rg - 2] + ch[2 : Rg - 1] + ch[3:Rg]
+        box = (roll(rows, -1) + rows + roll(rows, 1) + roll(rows, 2))
+        maps_ref[0, o] = box[4 : 4 + T]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def detect_maps_batch(imgs: jnp.ndarray, k: float = 0.05,
+                      interpret: bool = False
+                      ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused detection precompute: (F, H, W) float32 ->
+    (resp (F, H, W), nms (F, H, W), maps (F, 8, H, W)).
+
+    Same values as harris_response_batch + orientation_cell_maps_batch
+    (f32 roundoff; identical boundary semantics), one image pass.
+    """
+    import numpy as np
+
+    F, H, W = imgs.shape
+    T = FUSED_TILE
+    n_t = -(-H // T)
+    Hp = n_t * T
+    CP = 128 * (-(-(W + 2 * _HPAD_C) // 128))
+    canvas = jnp.zeros((F, Hp + 2 * _HHALO, CP), imgs.dtype)
+    canvas = canvas.at[:, _HHALO : _HHALO + H,
+                       _HPAD_C : _HPAD_C + W].set(imgs)
+
+    def gauss(sigma):
+        xg = np.arange(-2, 3, dtype=np.float32)
+        g = np.exp(-0.5 * (xg / sigma) ** 2)
+        return tuple(float(v) for v in (g / g.sum()))
+
+    resp, nms, maps = pl.pallas_call(
+        functools.partial(_detect_maps_kernel, k=k, gw_h=gauss(1.5),
+                          gw_o=gauss(1.0)),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype),
+            jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype),
+            jax.ShapeDtypeStruct((F, 8, Hp, CP), imgs.dtype),
+        ),
+        grid=(F, n_t),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((1, T, CP), lambda f, t: (f, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, CP), lambda f, t: (f, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, T, CP), lambda f, t: (f, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * _HHALO, CP), imgs.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(canvas)
+    sl = (slice(None), slice(0, H), slice(_HPAD_C, _HPAD_C + W))
+    return (resp[sl], nms[sl],
+            maps[:, :, :H, _HPAD_C : _HPAD_C + W])
+
+
+# ---------------------------------------------------------------------------
 # fused AKAZE octave: Perona-Malik diffusion + Hessian response + NMS
 # ---------------------------------------------------------------------------
 #

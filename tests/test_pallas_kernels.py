@@ -166,3 +166,20 @@ def test_pallas_orientation_maps_match_f32_reference():
         ref = jax.vmap(features.orientation_cell_maps)(imgs)
     d = np.abs(np.asarray(maps) - np.asarray(ref))[:, :, 8:-8, 8:-8]
     assert d.max() < 1e-4, d.max()
+
+
+def test_pallas_detect_maps_matches_standalone_kernels():
+    """The fused detection-maps kernel must reproduce the two standalone
+    kernels exactly (identical bodies, one DMA): resp/nms/maps bit-equal
+    in interpret mode."""
+    rng = np.random.default_rng(6)
+    imgs = jnp.asarray(rng.random((2, 130, 210)).astype(np.float32))
+    resp_f, nms_f, maps_f = pallas_kernels.detect_maps_batch(
+        imgs, interpret=True)
+    resp_s, nms_s = pallas_kernels.harris_response_batch(
+        imgs, interpret=True)
+    maps_s = pallas_kernels.orientation_cell_maps_batch(
+        imgs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(resp_f), np.asarray(resp_s))
+    np.testing.assert_array_equal(np.asarray(nms_f), np.asarray(nms_s))
+    np.testing.assert_array_equal(np.asarray(maps_f), np.asarray(maps_s))
