@@ -83,13 +83,18 @@ def _custom_call_flops_counted() -> bool:
 
     from slam_tpu.ops import pallas_kernels as pk
 
-    a = jnp.zeros((128, 128), jnp.float32)
-    v = jnp.ones((128,), bool)
+    # tile-aligned shapes: the kernel asserts Ka % TILE_A == 0, so a
+    # (128, 128) probe raised at trace time and the probe always said False
+    ka, kb = pk.TILE_A, pk.TILE_B
+    a = jnp.zeros((ka, 128), jnp.float32)
+    b = jnp.zeros((kb, 128), jnp.float32)
+    va = jnp.ones((ka,), bool)
+    vb = jnp.ones((kb,), bool)
     try:
-        c = jax.jit(pk.mutual_nearest).lower(a, a, v, v).compile()
+        c = jax.jit(pk.mutual_nearest).lower(a, b, va, vb).compile()
     except Exception:
         return False
-    return _xla_flops(c) >= 2 * 128 * 128 * 128  # the declared estimate
+    return _xla_flops(c) >= 2 * ka * kb * 128  # the declared estimate
 
 
 def make_images(num_frames: int) -> tuple[np.ndarray, np.ndarray]:

@@ -89,11 +89,6 @@ def main() -> int:
     t = timeit(desc_fn, args.iters, imgs, det["xy"], det["valid"], maps)
     res["describe_ms"] = 1e3 * t / F
 
-    # ---- selection sub-steps ------------------------------------------
-    def cells_topk(r, rn):
-        out = features.select_keypoints(r, K, resp_nms=rn)
-        return out["xy"]
-
     # gather-only: the 16-cell descriptor sample at fixed indices
     px = jnp.clip(det["xy"][..., 0:1].astype(jnp.int32) +
                   jnp.arange(16)[None, None, :] * 2 - 15, 0, W - 1)

@@ -150,7 +150,12 @@ def main(argv=None) -> int:
             if not args.no_analysis:
                 rep["analysis"] = analysis.run_analysis(
                     res, np.asarray(gt), out_dir / "graphs",
-                    images_left=None if isinstance(L, list) else L,
+                    # path mode: lazy decode so the image-based probes
+                    # (loop overlays, worst-factor insets) still render
+                    images_left=(
+                        kitti_mod.LazyImageSequence(L, image_hw)
+                        if isinstance(L, list) else L
+                    ),
                 )
         else:
             rep = {"timings_s": res.timings, "db_stats": res.db.stats(),

@@ -432,6 +432,12 @@ def _frontend_fingerprint(cfg: SlamConfig) -> str:
         for k in ("features", "matching", "ransac")
     }
     sub["seed"] = cfg.seed
+    # chunking determines the position-based RANSAC key stream
+    # (fold_in(seed, start // chunk)) and the chunk boundaries, so a
+    # resume under a different chunk size would stitch two different
+    # hypothesis streams; other runtime fields (cache paths, device
+    # options) stay excluded.
+    sub["chunk_frames"] = cfg.runtime.chunk_frames
     blob = json.dumps(sub, sort_keys=True).encode()
     return hashlib.sha1(blob).hexdigest()[:16]
 
@@ -463,6 +469,41 @@ def _save_checkpoint(path, seg_outs, seg_T_w2c, carry, T_carry, next_start,
     for k, v in (carry or {}).items():
         meta[f"carry_{k}"] = np.asarray(v)
     _atomic_savez(path, **meta)
+
+
+def _resume_from_checkpoint(checkpoint_path, fingerprint: str):
+    """Validate and load an existing checkpoint for resume (shared by
+    run_frontend and parallel.pipeline.run_frontend_pipelined so the
+    fingerprint guard cannot drift between the two).
+
+    Returns (outs, T_w2c_all, carry, T_carry, first_start, seg_idx,
+    desc_chunks, legacy_ckpt). Raises RuntimeError when the checkpoint was
+    written under a different result-determining config.
+    """
+    with np.load(str(checkpoint_path)) as _z:
+        legacy_ckpt = "num_segments" not in _z.files
+        if "cfg_fingerprint" in _z.files:
+            saved_fp = str(_z["cfg_fingerprint"])
+            if saved_fp != fingerprint:
+                raise RuntimeError(
+                    f"frontend checkpoint {checkpoint_path} was written "
+                    f"under a different feature/matching/ransac/chunking "
+                    f"config (fingerprint {saved_fp} != {fingerprint}); "
+                    f"delete it (and its .segNNNN files) to recompute, or "
+                    f"rerun with the original config"
+                )
+    outs, T_w2c_all, carry, T_carry, first_start = (
+        load_frontend_checkpoint(checkpoint_path)
+    )
+    seg_idx = len(outs)
+    desc_chunks = []
+    pos = 0
+    for o in outs:
+        n_o = o["xy"].shape[0]
+        desc_chunks.append((pos, n_o, o.pop("desc", None)))
+        pos += n_o
+    return (outs, T_w2c_all, carry, T_carry, first_start, seg_idx,
+            desc_chunks, legacy_ckpt)
 
 
 def load_frontend_checkpoint(path):
@@ -585,27 +626,9 @@ def run_frontend(
     legacy_ckpt = False
     fingerprint = _frontend_fingerprint(cfg)
     if resume and checkpoint_path and Path(checkpoint_path).exists():
-        with np.load(str(checkpoint_path)) as _z:
-            legacy_ckpt = "num_segments" not in _z.files
-            if "cfg_fingerprint" in _z.files:
-                saved_fp = str(_z["cfg_fingerprint"])
-                if saved_fp != fingerprint:
-                    raise RuntimeError(
-                        f"frontend checkpoint {checkpoint_path} was written "
-                        f"under a different feature/matching/ransac config "
-                        f"(fingerprint {saved_fp} != {fingerprint}); delete "
-                        f"it (and its .segNNNN files) to recompute, or rerun "
-                        f"with the original config"
-                    )
-        outs, T_w2c_all, carry, T_carry, first_start = (
-            load_frontend_checkpoint(checkpoint_path)
-        )
-        seg_idx = len(outs)
-        pos = 0
-        for o in outs:
-            n_o = o["xy"].shape[0]
-            desc_chunks.append((pos, n_o, o.pop("desc", None)))
-            pos += n_o
+        (outs, T_w2c_all, carry, T_carry, first_start, seg_idx,
+         desc_chunks, legacy_ckpt) = _resume_from_checkpoint(
+            checkpoint_path, fingerprint)
     starts = list(range(first_start, F, chunk))
     if legacy_ckpt and starts:
         # more chunks will be appended: migrate the monolithic file to the

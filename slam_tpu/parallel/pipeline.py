@@ -50,7 +50,8 @@ def run_frontend_pipelined(
     from .. import runtime
     from ..models.frontend import (
         _convert_legacy_checkpoint, _save_checkpoint, _assemble_result,
-        load_frontend_checkpoint, recompute_descriptors,
+        _frontend_fingerprint, _resume_from_checkpoint,
+        recompute_descriptors,
     )
 
     F = len(left_paths)
@@ -97,23 +98,16 @@ def run_frontend_pipelined(
     T_carry = np.eye(4, dtype=np.float32)
     first_start, seg_idx = 0, 0
     legacy_ckpt = False
+    fingerprint = _frontend_fingerprint(cfg)
     if resume and checkpoint_path and Path(checkpoint_path).exists():
-        with np.load(str(checkpoint_path)) as _z:
-            legacy_ckpt = "num_segments" not in _z.files
-        outs, T_w2c_all, carry, T_carry, first_start = (
-            load_frontend_checkpoint(checkpoint_path)
-        )
-        seg_idx = len(outs)
-        pos = 0
-        for o in outs:
-            n_o = o["xy"].shape[0]
-            desc_chunks.append((pos, n_o, o.pop("desc", None)))
-            pos += n_o
+        (outs, T_w2c_all, carry, T_carry, first_start, seg_idx,
+         desc_chunks, legacy_ckpt) = _resume_from_checkpoint(
+            checkpoint_path, fingerprint)
     if first_start >= F:  # checkpoint covers the whole sequence: pure load
         return _assemble_result(outs, T_w2c_all, desc_chunks, _recompute_desc)
     if legacy_ckpt:
         _convert_legacy_checkpoint(checkpoint_path, outs, T_w2c_all, carry,
-                                   T_carry, first_start)
+                                   T_carry, first_start, fingerprint)
 
     if native:
         loader = runtime.StereoPrefetcher(
@@ -161,7 +155,7 @@ def run_frontend_pipelined(
         done = start + n
         if checkpoint_path and done - last_ckpt >= checkpoint_every:
             _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry_after,
-                             T_carry, done, seg_idx)
+                             T_carry, done, seg_idx, fingerprint)
             last_ckpt = done
             seg_idx += 1
             seg_outs, seg_T = [], []
@@ -183,7 +177,7 @@ def run_frontend_pipelined(
         _materialize(*pending)
     if checkpoint_path and seg_outs:
         _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry, T_carry, F,
-                         seg_idx)
+                         seg_idx, fingerprint)
     return _assemble_result(outs, T_w2c_all, desc_chunks, _recompute_desc)
 
 

@@ -120,8 +120,17 @@ def run_pipeline(
         # one) must not be served against this run's frontend
         h = hashlib.sha256()
         if from_disk:
+            # path strings alone are not enough: a regenerated dataset
+            # with the same filenames must invalidate, so each file's
+            # (size, mtime) joins the key
+            import os
+
             h.update("\n".join(map(str, images_left)).encode())
             h.update("\n".join(map(str, images_right)).encode())
+            for p in (images_left[0], images_left[-1], images_right[0],
+                      images_right[-1]):
+                st = os.stat(p)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
         else:
             h.update(np.asarray(images_left[0]).tobytes())
             h.update(np.asarray(images_left[-1]).tobytes())

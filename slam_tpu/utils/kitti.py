@@ -245,6 +245,48 @@ def pad_to_bucket(images: np.ndarray, bucket_hw: tuple[int, int]) -> np.ndarray:
     return np.pad(images, ((0, 0), (0, BH - H), (0, BW - W)), mode="edge")
 
 
+class LazyImageSequence:
+    """Array-like view over on-disk grayscale PNGs, decoded on demand.
+
+    Streams exactly like ``load_sequence``'s eager arrays (same decode +
+    edge-replicate bucket padding) but holds only one decoded frame at a
+    time, so the prefetch/path CLI mode can still feed the image-based
+    analysis probes (loop-match overlays, worst-factor insets,
+    visualize_track) without re-loading the whole sequence into host
+    memory. Supports the indexing the analysis suite uses:
+    ``seq[f]``, ``seq[f, y0:y1, x0:x1]``, ``seq.shape``, ``len(seq)``.
+    """
+
+    def __init__(self, paths, bucket_hw: tuple[int, int] | None = None):
+        self._paths = [Path(p) for p in paths]
+        if not self._paths:
+            raise ValueError("empty image path list")
+        self._bucket = bucket_hw
+        self._cache: tuple[int, np.ndarray] | None = None
+        h, w = _imread_gray(self._paths[0]).shape
+        if bucket_hw is not None:
+            h, w = bucket_hw
+        self.shape = (len(self._paths), h, w)
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def _frame(self, f: int) -> np.ndarray:
+        f = int(f)
+        if self._cache is not None and self._cache[0] == f:
+            return self._cache[1]
+        img = _imread_gray(self._paths[f]).astype(np.float32) / 255.0
+        if self._bucket is not None:
+            img = pad_to_bucket(img[None], self._bucket)[0]
+        self._cache = (f, img)
+        return img
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            return self._frame(idx[0])[idx[1:]]
+        return self._frame(idx)
+
+
 def load_sequence(
     paths: KittiPaths,
     limit: int | None = None,

@@ -54,6 +54,55 @@ def test_pipelined_frontend_matches_eager(tmp_path):
     assert d.max() < 0.05
 
 
+def test_pipelined_resume_rejects_changed_config(tmp_path):
+    """run_frontend_pipelined must enforce the same checkpoint config
+    fingerprint as run_frontend (review finding: the pipelined path once
+    saved and resumed checkpoints without it)."""
+    runtime = pytest.importorskip("slam_tpu.runtime")
+    if not runtime._load():
+        pytest.skip("native runtime unavailable")
+    import cv2
+
+    scene = synthetic.make_scene(
+        jax.random.PRNGKey(6), num_frames=8, num_landmarks=1500,
+        hw=(128, 256), step_m=0.8,
+    )
+    L, R = synthetic.render_sequence(scene)
+    Lu = np.clip(L * 255, 0, 255).astype(np.uint8)
+    Ru = np.clip(R * 255, 0, 255).astype(np.uint8)
+    lps, rps = [], []
+    for i in range(8):
+        lp = tmp_path / f"l{i:06d}.png"
+        rp = tmp_path / f"r{i:06d}.png"
+        cv2.imwrite(str(lp), Lu[i])
+        cv2.imwrite(str(rp), Ru[i])
+        lps.append(lp)
+        rps.append(rp)
+    ck = tmp_path / "fe_pipe.npz"
+    ppipe.run_frontend_pipelined(lps, rps, (128, 256), scene.calib, CFG,
+                                 checkpoint_path=str(ck),
+                                 checkpoint_every=4)
+    changed = SlamConfig(
+        features=FeatureConfig(max_kp=256, border=8),
+        ransac=RansacConfig(num_hypotheses=64),
+        runtime=RuntimeConfig(chunk_frames=4),
+    )
+    with pytest.raises(RuntimeError, match="different feature"):
+        ppipe.run_frontend_pipelined(lps, rps, (128, 256), scene.calib,
+                                     changed, checkpoint_path=str(ck),
+                                     checkpoint_every=4, resume=True)
+    # a different chunk size changes the RANSAC key stream: must also fail
+    rechunked = SlamConfig(
+        features=FeatureConfig(max_kp=256, border=8),
+        ransac=RansacConfig(num_hypotheses=96),
+        runtime=RuntimeConfig(chunk_frames=8),
+    )
+    with pytest.raises(RuntimeError, match="different feature"):
+        ppipe.run_frontend_pipelined(lps, rps, (128, 256), scene.calib,
+                                     rechunked, checkpoint_path=str(ck),
+                                     checkpoint_every=4, resume=True)
+
+
 @pytest.mark.slow
 def test_cli_synthetic_run(tmp_path):
     from slam_tpu.__main__ import main
