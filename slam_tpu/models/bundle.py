@@ -149,6 +149,26 @@ def build_windows(
     frames_arr = np.full((B, P), -1, np.int32)
     track_of_lm = np.full((B, L), -1, np.int32)
 
+    # One frame-sorted view of the CSR arrays (they are (track, frame)
+    # sorted), so each window's entries come from two searchsorted cuts
+    # instead of a boolean scan over ALL links per window — the scan was
+    # O(windows x total_links) and dominated the bundles stage at
+    # reference scale (652 windows x 2.9M links). The stable sort keeps
+    # entries track-sorted within each frame, and the per-window
+    # (track, frame) re-sort below reproduces the original entry order
+    # exactly.
+    order_f = np.argsort(db.fr_sorted, kind="stable")
+    fr_f = db.fr_sorted[order_f]
+    tr_f = db.tr_sorted[order_f]
+    slot_f = db.slot_sorted[order_f]
+
+    def _rows_of(values, table):
+        """Vectorized index-of: rows of ``values`` in (possibly unsorted)
+        ``table``; every value must be present."""
+        sidx = np.argsort(table, kind="stable")
+        return sidx[np.searchsorted(table, values, sorter=sidx)].astype(
+            np.int64)
+
     total_obs_dropped = 0
     for bi in range(B):
         k0, k1 = keyframes[bi], keyframes[bi + 1]
@@ -161,27 +181,25 @@ def build_windows(
                 f"BundleConfig.max_poses-1 = {P - 1}; raise max_poses or "
                 f"lower KeyframeConfig.max_gap"
             )
-        frames = list(range(k0, k1 + 1))
-        n = len(frames)
+        n = k1 - k0 + 1
         n_poses[bi] = n
-        frames_arr[bi, :n] = frames
+        frames_arr[bi, :n] = np.arange(k0, k1 + 1)
         # initial poses in window frame
-        T0_inv = np.linalg.inv(T_w2c[k0])
-        for pi, f in enumerate(frames):
-            poses0[bi, pi] = T_w2c[f] @ T0_inv
+        poses0[bi, :n] = T_w2c[k0 : k1 + 1] @ np.linalg.inv(T_w2c[k0])[None]
 
         # tracks with >= 2 obs inside the window
-        sel = (db.fr_sorted >= k0) & (db.fr_sorted <= frames[-1])
-        trs = db.tr_sorted[sel]
-        frs = db.fr_sorted[sel]
-        slots = db.slot_sorted[sel]
+        a = np.searchsorted(fr_f, k0, side="left")
+        b = np.searchsorted(fr_f, k1, side="right")
+        sub = np.lexsort((fr_f[a:b], tr_f[a:b]))  # back to (track, frame)
+        trs = tr_f[a:b][sub]
+        frs = fr_f[a:b][sub]
+        slots = slot_f[a:b][sub]
         uniq, counts = np.unique(trs, return_counts=True)
         good = uniq[counts >= 2]
         if len(good) > L:
             # keep the longest tracks (stability)
             c = counts[counts >= 2]
             good = good[np.argsort(-c)[:L]]
-        lm_row = {int(t): i for i, t in enumerate(good)}
         track_of_lm[bi, : len(good)] = good
 
         keep = np.isin(trs, good)
@@ -192,7 +210,7 @@ def build_windows(
             # an arbitrary array prefix; count and report the drop. The
             # reference keeps every factor (bundle.py:129-169) — this is the
             # static-shape price, paid for the least informative obs first.
-            rows_lm = np.array([lm_row[int(t)] for t in trs], np.int64)
+            rows_lm = _rows_of(trs, good)
             cnt = np.zeros(len(good), np.int64)
             np.add.at(cnt, rows_lm, 1)
             order = np.lexsort((frs, trs, -cnt[rows_lm]))
@@ -207,7 +225,7 @@ def build_windows(
                 total_obs_dropped += int((~k2).sum())
                 trs, frs, slots = trs[k2], frs[k2], slots[k2]
         mrows = len(trs)
-        li = np.array([lm_row[int(t)] for t in trs], np.int32)
+        li = _rows_of(trs, good).astype(np.int32)
         ci = (frs - k0).astype(np.int32)
         links = db.links[frs, slots]  # (m, 3)
         cam_idx[bi, :mrows] = ci
@@ -215,16 +233,23 @@ def build_windows(
         meas[bi, :mrows] = links
 
         # landmark init: backproject at the max-disparity observation
+        # (group argmax; among equal disparities the FIRST row wins, so
+        # sort each group by descending row as the final key — lexsort is
+        # stable and takes the last entry per group)
         disp = links[:, 0] - links[:, 1]
         init_frame = np.full(len(good), -1, np.int64)
         best_disp = np.full(len(good), -1.0)
         best_row = np.zeros(len(good), np.int64)
-        for r in range(mrows):
-            lrow = li[r]
-            if disp[r] > best_disp[lrow]:
-                best_disp[lrow] = disp[r]
-                best_row[lrow] = r
-                init_frame[lrow] = ci[r]
+        if mrows:
+            g_order = np.lexsort(
+                (-np.arange(mrows, dtype=np.int64), disp, li))
+            li_s = g_order[np.r_[li[g_order][1:] != li[g_order][:-1], True]]
+            # li_s: one row per landmark group = max-disp, first-row tie
+            keep_pos = disp[li_s] > -1.0  # matches the loop's > sentinel
+            rows_sel = li_s[keep_pos]
+            best_disp[li[rows_sel]] = disp[rows_sel]
+            best_row[li[rows_sel]] = rows_sel
+            init_frame[li[rows_sel]] = ci[rows_sel]
         # weights: 1/growth^|frame - init_frame|
         dist_from_init = np.abs(ci - init_frame[li])
         w[bi, :mrows] = (1.0 / cfg.meas_sigma_px) * (
