@@ -146,6 +146,22 @@ class PoseGraph:
         )
         return C[:N, :, :N, :]
 
+    def marginal_logdets(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-node natural-log determinants of the 3x3 location / rotation
+        marginal covariance blocks, computed and reduced ON DEVICE — only
+        2N scalars cross the host link (covariance_full would read the
+        whole (6N)^2 matrix back; the uncertainty plots need just these).
+        Returns (loc_logdet (N,), rot_logdet (N,))."""
+        e_i, e_j, Z, si, valid = self._padded_edges()
+        nodes_p, n_valid = self._padded_nodes()
+        N = self.num_nodes
+        loc, rot = pg_ops.marginal_logdets(
+            jnp.asarray(nodes_p), jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid),
+            n_valid=jnp.asarray(n_valid),
+        )
+        return np.asarray(loc)[:N], np.asarray(rot)[:N]
+
     def gate_distances(self, pair_i: np.ndarray, pair_j: np.ndarray) -> np.ndarray:
         """Mahalanobis gating distances for candidate pairs, computed in one
         fused device call (posterior inverse + batched quadratic forms); only

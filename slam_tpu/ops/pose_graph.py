@@ -208,6 +208,39 @@ def gate_matrix(nodes, e_i, e_j, Z, sqrt_info, e_valid, pair_i, pair_j,
     return mahalanobis_batched(C, nodes, pair_i, pair_j)
 
 
+@jax.jit
+@full_precision
+def marginal_logdets(nodes, e_i, e_j, Z, sqrt_info, e_valid, n_valid=None):
+    """Per-node (log det loc_cov, log det rot_cov) of the posterior, fully
+    on device: returns (N,) + (N,) natural-log determinants of the 3x3
+    location / rotation diagonal covariance blocks.
+
+    The uncertainty plots (reference analysis.py:1125-1263) only consume
+    these 2N scalars; materializing covariance_full on the host for them
+    read the whole (6N)^2 matrix back over the host link (~85 MB per
+    call at N=653 — half the analysis stage in this environment).
+    """
+    C = _covariance_full(nodes, e_i, e_j, Z, sqrt_info, e_valid, n_valid)
+    N = C.shape[0]
+    idx = jnp.arange(N)
+    blocks = C[idx, :, idx, :]                      # (N, 6, 6)
+    eye3 = 1e-18 * jnp.eye(3, dtype=C.dtype)
+
+    def logdet3(M):
+        M = M + eye3
+        det = (
+            M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2]
+                            - M[..., 1, 2] * M[..., 2, 1])
+            - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2]
+                              - M[..., 1, 2] * M[..., 2, 0])
+            + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1]
+                              - M[..., 1, 1] * M[..., 2, 0])
+        )
+        return jnp.log(jnp.maximum(jnp.abs(det), jnp.finfo(M.dtype).tiny))
+
+    return logdet3(blocks[:, 3:, 3:]), logdet3(blocks[:, :3, :3])
+
+
 def relative_covariance(C, i, j):
     """Covariance of the relative perturbation (delta_j - delta_i), 6x6.
 

@@ -318,13 +318,10 @@ def plot_uncertainty(out_dir, pg_pre, pg_post=None):
     plt = _plt()
 
     def logdets(pg):
-        C = pg.covariance_full()
-        N = pg.num_nodes
-        loc = np.array([np.linalg.slogdet(
-            C[i, 3:, i, 3:] + 1e-18 * np.eye(3))[1] for i in range(1, N)])
-        rot = np.array([np.linalg.slogdet(
-            C[i, :3, i, :3] + 1e-18 * np.eye(3))[1] for i in range(1, N)])
-        return loc / np.log(10.0), rot / np.log(10.0)
+        # on-device reduction: only 2N scalars cross the host link (the
+        # full covariance readback was half the analysis stage at scale)
+        loc, rot = pg.marginal_logdets()
+        return loc[1:] / np.log(10.0), rot[1:] / np.log(10.0)
 
     loc_pre, rot_pre = logdets(pg_pre)
     has_post = pg_post is not None and pg_post.num_edges > pg_pre.num_edges

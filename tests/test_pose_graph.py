@@ -258,3 +258,27 @@ def test_sqrt_info_from_cov():
     cov = A @ A.T + 0.1 * np.eye(6)
     S = sqrt_info_from_cov(cov)
     np.testing.assert_allclose(S @ cov @ S.T, np.eye(6), atol=1e-6)
+
+
+def test_marginal_logdets_match_host_slogdet():
+    """On-device logdet reduction (analysis uncertainty path) must match
+    slogdet of covariance_full's diagonal blocks."""
+    N = 10
+    T_gt, Z = make_chain(jax.random.PRNGKey(9), N=N, drift=0.02)
+    Zc = np.stack([T_gt[i + 1] @ np.linalg.inv(T_gt[i]) for i in range(N - 1)])
+    pg = PoseGraph()
+    pg.nodes = T_gt.copy()
+    pg.keyframes = list(range(N))
+    pg.e_i = np.arange(N - 1, dtype=np.int32)
+    pg.e_j = np.arange(1, N, dtype=np.int32)
+    pg.Z = Zc.astype(np.float32)
+    pg.sqrt_info = np.tile(np.eye(6, dtype=np.float32) * 8.0, (N - 1, 1, 1))
+    pg.is_loop = np.zeros(N - 1, bool)
+    loc, rot = pg.marginal_logdets()
+    C = pg.covariance_full()
+    loc_ref = np.array([np.linalg.slogdet(
+        C[i, 3:, i, 3:] + 1e-18 * np.eye(3))[1] for i in range(1, N)])
+    rot_ref = np.array([np.linalg.slogdet(
+        C[i, :3, i, :3] + 1e-18 * np.eye(3))[1] for i in range(1, N)])
+    np.testing.assert_allclose(loc[1:], loc_ref, atol=2e-3)
+    np.testing.assert_allclose(rot[1:], rot_ref, atol=2e-3)
