@@ -77,7 +77,54 @@ class DescriptorBank:
             self._chunks = None  # free the per-chunk buffers
         return self._stacked
 
+    def _chunk_for(self, frame: int):
+        """Materialize (recomputing at most that one chunk) and return the
+        (start, array) pair owning ``frame``."""
+        for ci, (start, n, arr) in enumerate(self._chunks):
+            if start <= frame < start + n:
+                if arr is None:
+                    if self._recompute is None:
+                        raise RuntimeError(
+                            "descriptor chunk missing and no recompute "
+                            "source (images) available"
+                        )
+                    arr = jnp.asarray(self._recompute(start, n))
+                    self._chunks[ci] = (start, n, arr)
+                return start, arr
+        raise IndexError(f"frame {frame} out of range")
+
+    def gather(self, frames):
+        """Descriptors for the given frame indices (any-shape int array),
+        materializing only the chunks those frames live in. This is the
+        keyframe-access path: loop closure and the loop-match probe ask
+        for a handful of keyframes, which must not force recomputation or
+        stacking of the whole sequence."""
+        if self._stacked is not None:
+            return self._stacked[jnp.asarray(frames)]
+        idx = np.asarray(frames)
+        flat = idx.reshape(-1)
+        rows = [None] * flat.size
+        order = np.argsort(flat, kind="stable")
+        start = arr = None
+        for k in order:
+            f = int(flat[k])
+            if start is None or not (start <= f < start + arr.shape[0]):
+                start, arr = self._chunk_for(f)
+            rows[k] = arr[f - start]
+        out = jnp.stack(rows, axis=0)
+        return out.reshape(idx.shape + out.shape[1:])
+
     def __getitem__(self, idx):
+        if self._stacked is not None:
+            return self._stacked[idx]
+        if isinstance(idx, (int, np.integer)):
+            f = int(idx)
+            if f < 0:
+                f += self.shape[0]
+            start, arr = self._chunk_for(f)
+            return arr[f - start]
+        if isinstance(idx, np.ndarray) and idx.dtype.kind in "iu":
+            return self.gather(idx)
         return self._ensure()[idx]
 
     def __len__(self):

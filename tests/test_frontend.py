@@ -85,3 +85,34 @@ def test_frontend_match_bookkeeping(seq):
         assert not np.any(res.inlier_prev[f] & ~matched)
     # frame 0 has no matches
     assert (res.match_prev[0] == -1).all()
+
+
+def test_descriptor_bank_gathers_only_needed_chunks():
+    """Keyframe access must not materialize or recompute the whole bank.
+
+    Regression: plot_loop_match / loop-closure verification gather a
+    handful of keyframes; with checkpoint-resumed (None) chunks the old
+    __getitem__ stacked everything, recomputing full-sequence detection
+    on the analysis host (minutes per closure)."""
+    K, D = 4, 3
+    calls = []
+
+    def recompute(start, n):
+        calls.append(start)
+        return np.full((n, K, D), start, np.float16)
+
+    bank = frontend.DescriptorBank(
+        [(0, 5, None), (5, 5, None), (10, 5, None)], recompute
+    )
+    # int access touches one chunk only
+    row = np.asarray(bank[7])
+    assert row.shape == (K, D) and row[0, 0] == 5
+    assert calls == [5]
+    # array access (loop-closure f_q / f_c shapes) touches owning chunks only
+    out = np.asarray(bank[np.array([[1, 6], [6, 1]])])
+    assert out.shape == (2, 2, K, D)
+    assert out[0, 0, 0, 0] == 0 and out[0, 1, 0, 0] == 5
+    assert calls == [5, 0]          # chunk 10.. never touched, 5.. cached
+    # full materialization still works and recomputes the rest
+    assert bank.numpy().shape == (15, K, D)
+    assert set(calls) == {0, 5, 10}
