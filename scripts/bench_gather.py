@@ -137,6 +137,55 @@ def main() -> int:
     _ = float(xmf[0, 0, 0])
     bench("shift32 f32 flat-span", gather4_flat, xmf, py0, px0)
 
+    # channel-last flat view (H, W*8): row y is W*8 contiguous floats, so
+    # a (13, 128) slice per keypoint covers the whole 4x4 cell grid (13 px
+    # square x 8 channels) — ONE gather index per keypoint. Build is a
+    # single (8,H,W)->(H,W,8) transpose (15 MB/image).
+    def build_clast_flat(m):
+        return jnp.transpose(m, (0, 2, 3, 1)).reshape(F, H, W * C)
+
+    sel = jnp.array([0, 4, 8, 12], jnp.int32)
+
+    def patch13(mf, py0, px0):
+        starts = jnp.stack([py0 - 6, (px0 - 6) * C], axis=-1)  # (F, K, 2)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        g = jax.vmap(
+            lambda mm, st: jax.lax.gather(
+                mm, st, dn, slice_sizes=(13, 16 * C),
+                mode=jax.lax.GatherScatterMode.CLIP)
+        )(mf, starts)                                  # (F, K, 13, 128)
+        g = g.reshape(F, K, 13, 16, C)
+        return g[:, :, sel][:, :, :, sel]              # (F, K, 4, 4, 8)
+
+    # 4 indices/kp pulling one 128-wide contiguous row span each
+    def span16(mf, py0, px0):
+        py = (py0[:, :, None] + OFF[None, None, :]).reshape(F, K * 4)
+        pxs = jnp.broadcast_to(((px0 - 6) * C)[:, :, None],
+                               (F, K, 4)).reshape(F, K * 4)
+        starts = jnp.stack([py, pxs], axis=-1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1))
+        g = jax.vmap(
+            lambda mm, st: jax.lax.gather(
+                mm, st, dn, slice_sizes=(1, 16 * C),
+                mode=jax.lax.GatherScatterMode.CLIP)
+        )(mf, starts)                                  # (F, K*4, 128)
+        g = g.reshape(F, K, 4, 16, C)
+        return g[:, :, :, sel]                         # (F, K, 4, 4, 8)
+
+    mflat = jax.jit(build_clast_flat)(maps)
+    _ = float(mflat[0, 0, 0])
+    bench("clast-flat patch13 1-idx", patch13, mflat, py0, px0)
+    bench("clast-flat span16 4-idx", span16, mflat, py0, px0)
+
+    def build_and_patch(m, py0, px0):
+        return patch13(build_clast_flat(m), py0, px0)
+
+    bench("patch13 build+gather", build_and_patch, maps, py0, px0)
+
     # correctness: shifted 4-index gather == base 16-index gather.
     # base16 output (F, 8, K, 16) has cell = iy*4+ix; shift32 output
     # (F, K, 4=iy, 32=ix*8+c) — same elements, (iy, ix, c) order.
@@ -148,7 +197,11 @@ def main() -> int:
     assert np.array_equal(ref, got), "shift32 gather mismatch"
     gotf = np.asarray(gather4_flat(xmf, py0, px0)).reshape(F, K, 4, 4, 8)
     assert np.array_equal(ref, gotf), "flat-span gather mismatch"
-    print("parity OK: shift32 and flat-span bit-equal base16")
+    gotp = np.asarray(patch13(mflat, py0, px0))
+    assert np.array_equal(ref, gotp), "patch13 gather mismatch"
+    gots = np.asarray(span16(mflat, py0, px0))
+    assert np.array_equal(ref, gots), "span16 gather mismatch"
+    print("parity OK: all variants bit-equal base16")
     return 0
 
 
