@@ -64,8 +64,17 @@ def main() -> int:
                    lambda im: pk.harris_response_batch(im), (imgs,)))
     checks.append(("orientation_cell_maps_batch",
                    lambda im: pk.orientation_cell_maps_batch(im), (imgs,)))
+    checks.append(("orientation_cell_maps_batch[shifted]",
+                   lambda im: pk.orientation_cell_maps_batch(
+                       im, shifted=True), (imgs,)))
     checks.append(("detect_maps_batch",
                    lambda im: pk.detect_maps_batch(im), (imgs,)))
+    # shifted variant at full KITTI width: the 32-channel bf16 maps block
+    # is the VMEM-pressure case, invisible at toy widths
+    kitti_imgs = jnp.zeros((2, 376, 1241), jnp.float32)
+    checks.append(("detect_maps_batch[shifted,kitti]",
+                   lambda im: pk.detect_maps_batch(im, shifted=True),
+                   (kitti_imgs,)))
     kvals = jnp.full((2,), 0.01, jnp.float32)
     checks.append(("akaze_octave_batch",
                    lambda im, kv: pk.akaze_octave_batch(im, kv),

@@ -184,15 +184,16 @@ def detect_and_describe_akaze_batch(
     for o, kp_budget in enumerate(budgets):
         sigma = 1.6 * (2.0 ** o)
         L, resp, nms = pk.akaze_octave_batch(L, k, steps=steps, sigma=sigma)
-        maps = pk.orientation_cell_maps_batch(L)
+        maps = pk.orientation_cell_maps_batch(L, shifted=True)
 
-        def one(r, rn, l_img, mp, kp_budget=kp_budget, sigma=sigma):
+        def one(r, rn, l_img, sm, kp_budget=kp_budget, sigma=sigma):
             det = feat.select_keypoints(
                 r, kp_budget, border=12,
                 min_response=threshold * (sigma ** 4) * 1e-3,
                 resp_nms=rn,
             )
-            desc = feat.describe(l_img, det["xy"], det["valid"], maps=mp)
+            desc = feat.describe(l_img, det["xy"], det["valid"],
+                                 shifted_maps=sm)
             return det, desc
 
         det, desc = jax.vmap(one)(resp, nms, L, maps)

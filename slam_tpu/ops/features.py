@@ -223,7 +223,10 @@ def select_keypoints(
     xs = (sel_cell % Wc) * cell + sel_pos % cell
     valid = jnp.isfinite(top_s)
 
-    # quadratic subpixel refinement on the raw response map
+    # quadratic subpixel refinement on the raw response map. (A single
+    # (3,3)-slice lax.gather per keypoint was tried and rejected: explicit
+    # lax.gather slices hit an XLA TPU slow path ~8x worse than fancy
+    # indexing — see scripts/bench_gather.py.)
     xc = jnp.clip(xs, 1, W - 2)
     yc = jnp.clip(ys, 1, H - 2)
     r0 = resp_raw[yc, xc]
@@ -289,22 +292,11 @@ def orientation_cell_maps(img: jnp.ndarray) -> jnp.ndarray:
     return maps
 
 
-def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
-             maps: jnp.ndarray | None = None) -> jnp.ndarray:
-    """128-d SIFT-like descriptors for all keypoints of one image.
-
-    4x4 spatial cells x 8 orientation bins, sampled from the precomputed
-    orientation-cell maps at the 16 cell centers around each keypoint
-    (16 gathers per keypoint instead of 256 patch-pixel gathers), then the
-    standard SIFT normalization: L2 -> clip 0.2 -> L2. Upright and single
-    scale — exact OpenCV SIFT parity is a non-goal (SURVEY.md §7.3); the
-    descriptor feeds the same downstream geometry.
-    """
+def _gather_cells_fancy(maps: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """(8, H, W) maps + (K, 2) keypoints -> (K, 16, 8) descriptor cells via
+    16 per-cell fancy indices (clipped independently per cell). Works for
+    any keypoint position; 16 random-access indices per keypoint."""
     K = xy.shape[0]
-    if maps is None:
-        maps = orientation_cell_maps(img)  # (8, H, W)
-
-    # 16 cell centers: offsets (-6, -2, +2, +6) in y and x
     offs = (jnp.arange(4, dtype=jnp.float32) - 1.5) * CELL  # (-6,-2,2,6)
     oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
     oy = oy.reshape(-1)  # (16,)
@@ -312,14 +304,80 @@ def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
 
     px = jnp.clip(
         jnp.round(xy[:, 0:1] + ox[None, :]).astype(jnp.int32), 0,
-        img.shape[1] - 1,
+        maps.shape[2] - 1,
     )  # (K, 16)
     py = jnp.clip(
         jnp.round(xy[:, 1:2] + oy[None, :]).astype(jnp.int32), 0,
-        img.shape[0] - 1,
+        maps.shape[1] - 1,
     )
-    cells = maps[:, py, px]                    # (8, K, 16)
-    desc = cells.transpose(1, 2, 0).reshape(K, DESC_DIM)  # (K, 16*8)
+    return maps[:, py, px].transpose(1, 2, 0)  # (K, 16, 8)
+
+
+def build_shifted_cell_maps(maps: jnp.ndarray) -> jnp.ndarray:
+    """(8, H, W) orientation-cell maps -> (32, H, W) x-shifted stack where
+    channel ``j*8 + c`` at pixel (y, x) equals ``maps[c, y, clip(x+ox_j)]``
+    for the 4 descriptor-cell x-offsets ox = (-6, -2, 2, 6).
+
+    Sampling the stack at the 4 cell-row y-positions then yields all 16
+    descriptor cells with 4 gather indices per keypoint instead of 16 —
+    the TPU gather is per-index bound (scripts/bench_gather.py), so this
+    is the fast layout. Edge replication reproduces ``clip`` exactly, so
+    results are bit-identical for every keypoint position. On TPU the
+    fused detection kernel emits this stack directly
+    (pallas_kernels.detect_maps_batch) — this jnp builder is the fallback
+    / reference used by parity tests.
+    """
+    lo = 3 * CELL // 2  # 6
+    W = maps.shape[2]
+    padded = jnp.pad(maps, ((0, 0), (0, 0), (lo, lo)), mode="edge")
+    sh = [padded[:, :, lo + o: lo + o + W] for o in (-lo, -CELL // 2,
+                                                     CELL // 2, lo)]
+    return jnp.concatenate(sh, axis=0)
+
+
+def _gather_cells_shifted(shifted: jnp.ndarray, xy: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """(32, H, W) shifted stack + (K, 2) keypoints -> (K, 16, 8) cells via
+    4 fancy indices per keypoint. Bit-identical to
+    :func:`_gather_cells_fancy` on the corresponding 8-channel maps."""
+    K = xy.shape[0]
+    H = shifted.shape[1]
+    W = shifted.shape[2]
+    offs = (jnp.arange(4, dtype=jnp.float32) - 1.5) * CELL
+    py = jnp.clip(
+        jnp.round(xy[:, 1:2] + offs[None, :]).astype(jnp.int32), 0, H - 1
+    )                                                   # (K, 4)
+    px = jnp.clip(jnp.round(xy[:, 0:1]).astype(jnp.int32), 0, W - 1)
+    g = shifted[:, py, jnp.broadcast_to(px, py.shape)]  # (32, K, 4)
+    # channel layout is ix-major (j*8+c); cells must come out (iy, ix, c).
+    # The fused TPU kernel emits the stack in bf16 — normalize in f32.
+    return g.transpose(1, 2, 0).reshape(K, 16, 8).astype(jnp.float32)
+
+
+def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
+             maps: jnp.ndarray | None = None,
+             shifted_maps: jnp.ndarray | None = None) -> jnp.ndarray:
+    """128-d SIFT-like descriptors for all keypoints of one image.
+
+    4x4 spatial cells x 8 orientation bins, sampled from the precomputed
+    orientation-cell maps at the 16 cell centers around each keypoint
+    (16 cell gathers per keypoint instead of 256 patch-pixel gathers),
+    then the standard SIFT normalization: L2 -> clip 0.2 -> L2. Upright
+    and single scale — exact OpenCV SIFT parity is a non-goal
+    (SURVEY.md §7.3); the descriptor feeds the same downstream geometry.
+
+    ``shifted_maps`` (the (32, H, W) stack of :func:`build_shifted_cell_maps`,
+    emitted directly by the fused TPU detection kernel) samples the same
+    cells with 4 gather indices per keypoint instead of 16 — bit-identical
+    results, ~2x less random-access wall-clock on TPU.
+    """
+    if shifted_maps is not None:
+        cells = _gather_cells_shifted(shifted_maps, xy)
+    else:
+        if maps is None:
+            maps = orientation_cell_maps(img)  # (8, H, W)
+        cells = _gather_cells_fancy(maps, xy)
+    desc = cells.reshape(xy.shape[0], DESC_DIM)
 
     # SIFT normalization: L2 -> clip 0.2 -> L2
     desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
@@ -332,15 +390,19 @@ def describe(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
 def detect_and_describe(img: jnp.ndarray, max_kp: int = DEFAULT_MAX_KP,
                         resp: jnp.ndarray | None = None,
                         resp_nms: jnp.ndarray | None = None,
-                        maps: jnp.ndarray | None = None):
+                        maps: jnp.ndarray | None = None,
+                        shifted_maps: jnp.ndarray | None = None):
     """cv2 ``detectAndCompute`` equivalent for one image (jit, static out).
 
     ``resp`` optionally supplies a precomputed Harris response (the fused
-    batched Pallas kernel, pallas_kernels.harris_response_batch).
+    batched Pallas kernel, pallas_kernels.harris_response_batch);
+    ``shifted_maps`` the (32, H, W) x-shifted descriptor-cell stack
+    (pallas_kernels.detect_maps_batch(shifted=True)).
     Returns dict: xy (max_kp, 2), desc (max_kp, 128), valid (max_kp,).
     """
     det = detect(img, max_kp=max_kp, resp=resp, resp_nms=resp_nms)
-    desc = describe(img, det["xy"], det["valid"], maps=maps)
+    desc = describe(img, det["xy"], det["valid"], maps=maps,
+                    shifted_maps=shifted_maps)
     return {"xy": det["xy"], "desc": desc, "valid": det["valid"], "resp": det["resp"]}
 
 
@@ -358,11 +420,11 @@ def detect_and_describe_batch(imgs: jnp.ndarray,
     if use_pallas:
         from . import pallas_kernels as pk
 
-        resp, resp_nms, maps = pk.detect_maps_batch(imgs)
+        resp, resp_nms, smaps = pk.detect_maps_batch(imgs, shifted=True)
         return jax.vmap(
-            lambda im, r, rn, mp: detect_and_describe(
-                im, max_kp=max_kp, resp=r, resp_nms=rn, maps=mp)
-        )(imgs, resp, resp_nms, maps)
+            lambda im, r, rn, sm: detect_and_describe(
+                im, max_kp=max_kp, resp=r, resp_nms=rn, shifted_maps=sm)
+        )(imgs, resp, resp_nms, smaps)
     resp = jax.vmap(harris_response)(imgs)
     return jax.vmap(
         lambda im, r: detect_and_describe(im, max_kp=max_kp, resp=r)
@@ -458,15 +520,17 @@ def detect_and_describe_multiscale_batch(
         if use_pallas:
             from . import pallas_kernels as pk
 
-            resp, resp_nms, maps = pk.detect_maps_batch(level_imgs)
+            resp, resp_nms, smaps = pk.detect_maps_batch(level_imgs,
+                                                         shifted=True)
 
-            def one(im, r, rn, mp, k=k, border=border):
+            def one(im, r, rn, sm, k=k, border=border):
                 det = detect(im, max_kp=k, border=border, resp=r,
                              resp_nms=rn)
-                desc = describe(im, det["xy"], det["valid"], maps=mp)
+                desc = describe(im, det["xy"], det["valid"],
+                                shifted_maps=sm)
                 return det, desc
 
-            det, desc = jax.vmap(one)(level_imgs, resp, resp_nms, maps)
+            det, desc = jax.vmap(one)(level_imgs, resp, resp_nms, smaps)
         else:
             def one_jnp(im, k=k, border=border):
                 det = detect(im, max_kp=k, border=border)

@@ -389,10 +389,11 @@ ORIENT_TILE = 56      # output rows per program (8 channels resident)
 _OHALO = 8            # blur r=2 + sobel r=1 + box [r-1, r+2]; 8 for alignment
 
 
-def _orient_kernel(img_ref, out_ref, buf, sem, *, gw):
+def _orient_kernel(img_ref, out_ref, buf, sem, *, gw, shifted=False,
+                   tile=ORIENT_TILE):
     t = pl.program_id(1)
     f = pl.program_id(0)
-    T = ORIENT_TILE
+    T = tile
     R = T + 2 * _OHALO
     dma = pltpu.make_async_copy(
         img_ref.at[f, pl.ds(t * T, R), :], buf, sem
@@ -446,22 +447,37 @@ def _orient_kernel(img_ref, out_ref, buf, sem, *, gw):
         # rows index j: ch rows [j, j+3] = buf rows [j+3, j+6] = image rows
         # [tT + j - 5, tT + j - 2]; output row o_ = image tT + o_ needs the
         # window [o_-1, o_+2] -> j = o_ + 4
-        out_ref[0, o] = box[4 : 4 + T]
+        if shifted:
+            # x-shifted descriptor-cell stack (see _detect_maps_kernel):
+            # channel j*8+o = box at x+ox_j, bf16
+            bt = box[4 : 4 + T]
+            for j, ox in enumerate((-6, -2, 2, 6)):
+                out_ref[0, j * 8 + o] = roll(bt, ox).astype(out_ref.dtype)
+        else:
+            out_ref[0, o] = box[4 : 4 + T]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "shifted"))
 def orientation_cell_maps_batch(imgs: jnp.ndarray,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                shifted: bool = False) -> jnp.ndarray:
     """Batched fused descriptor maps: (F, H, W) -> (F, 8, H, W).
 
     Matches ops/features.orientation_cell_maps to float32 roundoff in the
     interior (the <= 5 px border band differs in SAME-padding semantics;
     the detector's 12 px border exclusion hides it).
+
+    ``shifted=True`` emits the (F, 32, H, W) bfloat16 x-shifted
+    descriptor-cell stack instead (features.build_shifted_cell_maps
+    layout; see detect_maps_batch) — 4 descriptor gather indices per
+    keypoint instead of 16.
     """
     import numpy as np
 
     F, H, W = imgs.shape
-    T = ORIENT_TILE
+    T = 32 if shifted else ORIENT_TILE
+    c_maps = 32 if shifted else 8
+    maps_dtype = jnp.bfloat16 if shifted else imgs.dtype
     n_t = -(-H // T)
     Hp = n_t * T
     CP = 128 * (-(-(W + 2 * _HPAD_C) // 128))
@@ -474,12 +490,13 @@ def orientation_cell_maps_batch(imgs: jnp.ndarray,
     gw = tuple(float(v) for v in (g / g.sum()))
 
     out = pl.pallas_call(
-        functools.partial(_orient_kernel, gw=gw),
-        out_shape=jax.ShapeDtypeStruct((F, 8, Hp, CP), imgs.dtype),
+        functools.partial(_orient_kernel, gw=gw, shifted=shifted, tile=T),
+        out_shape=jax.ShapeDtypeStruct((F, c_maps, Hp, CP), maps_dtype),
         grid=(F, n_t),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, T, CP), lambda f, t: (f, 0, t, 0), memory_space=pltpu.VMEM
+            (1, c_maps, T, CP), lambda f, t: (f, 0, t, 0),
+            memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((T + 2 * _OHALO, CP), imgs.dtype),
@@ -509,10 +526,10 @@ FUSED_TILE = 56       # output rows per program (10 channels resident)
 
 
 def _detect_maps_kernel(img_ref, resp_ref, nms_ref, maps_ref, buf, sem,
-                        *, k, gw_h, gw_o):
+                        *, k, gw_h, gw_o, shifted=False, tile=FUSED_TILE):
     t = pl.program_id(1)
     f = pl.program_id(0)
-    T = FUSED_TILE
+    T = tile
     R = T + 2 * _HHALO
     dma = pltpu.make_async_copy(
         img_ref.at[f, pl.ds(t * T, R), :], buf, sem
@@ -587,23 +604,46 @@ def _detect_maps_kernel(img_ref, resp_ref, nms_ref, maps_ref, buf, sem,
         ch = jnp.where(b0i == o, m0, 0.0) + jnp.where(b1i == o, m1, 0.0)
         rows = ch[0 : Rg - 3] + ch[1 : Rg - 2] + ch[2 : Rg - 1] + ch[3:Rg]
         box = (roll(rows, -1) + rows + roll(rows, 1) + roll(rows, 2))
-        maps_ref[0, o] = box[4 : 4 + T]
+        if shifted:
+            # emit the x-shifted stack (features.build_shifted_cell_maps
+            # layout: channel j*8+o = box at x+ox_j) in bf16: the
+            # descriptor cell gather is per-index bound, and 4 indices
+            # per keypoint over 32 channels beats 16 over 8
+            bt = box[4 : 4 + T]
+            for j, ox in enumerate((-6, -2, 2, 6)):
+                maps_ref[0, j * 8 + o] = roll(bt, ox).astype(
+                    maps_ref.dtype)
+        else:
+            maps_ref[0, o] = box[4 : 4 + T]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "shifted"))
 def detect_maps_batch(imgs: jnp.ndarray, k: float = 0.05,
-                      interpret: bool = False
+                      interpret: bool = False, shifted: bool = False
                       ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused detection precompute: (F, H, W) float32 ->
     (resp (F, H, W), nms (F, H, W), maps (F, 8, H, W)).
 
     Same values as harris_response_batch + orientation_cell_maps_batch
     (f32 roundoff; identical boundary semantics), one image pass.
+
+    ``shifted=True`` emits the maps output as the (F, 32, H, W)
+    **bfloat16** x-shifted descriptor-cell stack of
+    features.build_shifted_cell_maps instead (channel j*8+c at (y, x) =
+    maps[c, y, x+ox_j], ox = (-6, -2, 2, 6)), so the descriptor gather
+    needs 4 random-access indices per keypoint instead of 16. Values are
+    exact (modulo the single bf16 round on store) for x in [6, W-7];
+    within 6 px of the left/right border the stack reads the kernel's
+    zero canvas where the jnp builder edge-replicates — irrelevant in
+    practice because keypoint selection keeps border >= 12. The 32
+    bf16 channels also use a smaller row tile to stay within VMEM.
     """
     import numpy as np
 
     F, H, W = imgs.shape
-    T = FUSED_TILE
+    T = 32 if shifted else FUSED_TILE
+    c_maps = 32 if shifted else 8
+    maps_dtype = jnp.bfloat16 if shifted else imgs.dtype
     n_t = -(-H // T)
     Hp = n_t * T
     CP = 128 * (-(-(W + 2 * _HPAD_C) // 128))
@@ -618,11 +658,11 @@ def detect_maps_batch(imgs: jnp.ndarray, k: float = 0.05,
 
     resp, nms, maps = pl.pallas_call(
         functools.partial(_detect_maps_kernel, k=k, gw_h=gauss(1.5),
-                          gw_o=gauss(1.0)),
+                          gw_o=gauss(1.0), shifted=shifted, tile=T),
         out_shape=(
             jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype),
             jax.ShapeDtypeStruct((F, Hp, CP), imgs.dtype),
-            jax.ShapeDtypeStruct((F, 8, Hp, CP), imgs.dtype),
+            jax.ShapeDtypeStruct((F, c_maps, Hp, CP), maps_dtype),
         ),
         grid=(F, n_t),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -631,7 +671,7 @@ def detect_maps_batch(imgs: jnp.ndarray, k: float = 0.05,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, CP), lambda f, t: (f, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, T, CP), lambda f, t: (f, 0, t, 0),
+            pl.BlockSpec((1, c_maps, T, CP), lambda f, t: (f, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[

@@ -43,6 +43,30 @@ def test_descriptors_unit_norm():
     assert (norms[~valid] < 1e-6).all()
 
 
+def test_shifted_gather_bit_equals_fancy_gather():
+    """The 4-index shifted-stack descriptor cell gather must reproduce the
+    16-index per-cell gather exactly for EVERY keypoint position (the
+    edge-replicated shift stack encodes the same per-cell clipping)."""
+    img = textured_image(jax.random.PRNGKey(7), h=120, w=160)
+    maps = features.orientation_cell_maps(img)
+    shifted = features.build_shifted_cell_maps(maps)
+    kx, ky, kf = jax.random.split(jax.random.PRNGKey(8), 3)
+    # subpixel positions over the whole image INCLUDING the borders, where
+    # per-cell clipping actually fires
+    xs = jax.random.uniform(kx, (256,), minval=0.0, maxval=159.0)
+    ys = jax.random.uniform(ky, (256,), minval=0.0, maxval=119.0)
+    xy = jnp.stack([xs, ys], axis=-1)
+    a = np.asarray(features._gather_cells_shifted(shifted, xy))
+    f = np.asarray(features._gather_cells_fancy(maps, xy))
+    assert np.array_equal(a, f)
+
+    # full describe must be identical through either routing
+    valid = jax.random.bernoulli(kf, 0.9, (256,))
+    da = np.asarray(features.describe(img, xy, valid, shifted_maps=shifted))
+    df = np.asarray(features.describe(img, xy, valid))
+    assert np.array_equal(da, df)
+
+
 def test_self_match_is_identity():
     img = textured_image(jax.random.PRNGKey(3))
     feats = features.detect_and_describe(img, max_kp=128)

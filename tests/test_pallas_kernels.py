@@ -183,3 +183,50 @@ def test_pallas_detect_maps_matches_standalone_kernels():
     np.testing.assert_array_equal(np.asarray(resp_f), np.asarray(resp_s))
     np.testing.assert_array_equal(np.asarray(nms_f), np.asarray(nms_s))
     np.testing.assert_array_equal(np.asarray(maps_f), np.asarray(maps_s))
+
+
+def test_pallas_detect_maps_shifted_matches_jnp_builder():
+    """detect_maps_batch(shifted=True) must reproduce
+    features.build_shifted_cell_maps applied to its own unshifted maps —
+    bit-equal after the single bf16 store round — for x in [6, W-7] (the
+    region descriptor sampling can reach given the border-12 keypoint
+    guarantee). resp/nms must be untouched by the maps-layout switch."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.random((2, 90, 210)).astype(np.float32))
+    resp_u, nms_u, maps8 = pallas_kernels.detect_maps_batch(
+        imgs, interpret=True)
+    resp_s, nms_s, maps32 = pallas_kernels.detect_maps_batch(
+        imgs, interpret=True, shifted=True)
+    assert maps32.shape == (2, 32, 90, 210)
+    assert maps32.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(resp_s), np.asarray(resp_u))
+    np.testing.assert_array_equal(np.asarray(nms_s), np.asarray(nms_u))
+    ref = jax.vmap(features.build_shifted_cell_maps)(maps8).astype(
+        jnp.bfloat16)
+    W = imgs.shape[2]
+    got = np.asarray(maps32)[:, :, :, 6 : W - 6]
+    exp = np.asarray(ref)[:, :, :, 6 : W - 6]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_pallas_orient_maps_shifted_matches_jnp_builder():
+    """orientation_cell_maps_batch(shifted=True) (the AKAZE descriptor
+    path) must match the jnp shifted-stack builder on its own unshifted
+    output, bit-equal after the bf16 store round, for x in [6, W-7]."""
+    import jax
+
+    rng = np.random.default_rng(12)
+    imgs = jnp.asarray(rng.random((2, 90, 210)).astype(np.float32))
+    maps8 = pallas_kernels.orientation_cell_maps_batch(imgs, interpret=True)
+    maps32 = pallas_kernels.orientation_cell_maps_batch(
+        imgs, interpret=True, shifted=True)
+    assert maps32.shape == (2, 32, 90, 210)
+    assert maps32.dtype == jnp.bfloat16
+    ref = jax.vmap(features.build_shifted_cell_maps)(maps8).astype(
+        jnp.bfloat16)
+    W = imgs.shape[2]
+    np.testing.assert_array_equal(
+        np.asarray(maps32)[:, :, :, 6 : W - 6],
+        np.asarray(ref)[:, :, :, 6 : W - 6])
