@@ -691,6 +691,36 @@ def run_frontend(
     # software-pipelined transfers: ship chunk s+1 while s computes
     next_blocks = host_chunk(starts[0])
     next_dev = (jax.device_put(next_blocks[0]), jax.device_put(next_blocks[1]))
+
+    def materialize(pend):
+        """Block on a finished chunk's (async-started) host copies and fold
+        it into the accumulators. Deferred one iteration behind the compute
+        dispatch so the device runs chunk s+1 while the host drains chunk s
+        (the tunnel charges ~30 ms latency PER ARRAY on synchronous
+        readback; async copies pipeline to a single round trip)."""
+        nonlocal T_carry, last_ckpt, seg_idx, seg_outs, seg_T
+        start_p, n_p, sliced, carry_p, is_last = pend
+        out = jax.tree.map(np.asarray, sliced)
+        # stitch global chain across chunks
+        T_w2c = out["T_chain"] @ T_carry[None]
+        T_carry = T_w2c[-1]
+        T_w2c_all.append(T_w2c)
+        outs.append(out)
+        seg_outs.append(out)
+        seg_T.append(T_w2c)
+        done = start_p + n_p
+        # carry_p is the device carry as of `done` — NOT the loop's live
+        # carry, which has already advanced past the next dispatched chunk
+        if checkpoint_path and (
+            (done - last_ckpt >= checkpoint_every) or (is_last and seg_outs)
+        ):
+            _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry_p,
+                             T_carry, done, seg_idx, fingerprint)
+            last_ckpt = done
+            seg_idx += 1
+            seg_outs, seg_T = [], []
+
+    pending = None
     for i, start in enumerate(starts):
         block_l, block_r = next_dev
         n = next_blocks[2]
@@ -705,26 +735,13 @@ def run_frontend(
         # descriptors never cross to the host (round-2 lesson: at
         # ~0.5 MB/frame their readback dominated end-to-end wall-clock)
         desc_chunks.append((start, n, out.pop("desc")[:n]))
-        out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
-        # stitch global chain across chunks
-        T_w2c = out["T_chain"] @ T_carry[None]
-        T_carry = T_w2c[-1]
-        T_w2c_all.append(T_w2c)
-        outs.append(out)
-        seg_outs.append(out)
-        seg_T.append(T_w2c)
-
-        done = start + n
-        if checkpoint_path and done - last_ckpt >= checkpoint_every:
-            _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry,
-                             T_carry, done, seg_idx, fingerprint)
-            last_ckpt = done
-            seg_idx += 1
-            seg_outs, seg_T = [], []
-
-    if checkpoint_path and seg_outs:
-        _save_checkpoint(checkpoint_path, seg_outs, seg_T, carry, T_carry, F,
-                         seg_idx, fingerprint)
+        sliced = out if n == chunk else jax.tree.map(lambda x: x[:n], out)
+        for x in jax.tree.leaves(sliced):
+            x.copy_to_host_async()
+        if pending is not None:
+            materialize(pending)
+        pending = (start, n, sliced, carry, i + 1 == len(starts))
+    materialize(pending)
     return _assemble_result(outs, T_w2c_all, desc_chunks, _recompute_desc)
 
 
