@@ -389,7 +389,10 @@ def optimize_windows(
         )
     )
 
-    for s in range(0, B, device_batch):
+    def submit(s):
+        """Upload one window slice and dispatch solve/cov/cost0 (all
+        async); start the host copies so results stream back while later
+        slices compute. Materialization happens one slice behind."""
         e = min(s + device_batch, B)
         # pad the tail slice to device_batch (zero-weight dummy windows):
         # a smaller final slice would recompile solver/cov/cost for its
@@ -412,15 +415,30 @@ def optimize_windows(
         ww = sl(batch.w)
         if pad:
             ww = ww.at[e - s :].set(0.0)  # dummy windows carry no residuals
-        n = e - s
         poses, points, w2, cost = solver(p0, x0, ci, li, ms, ww)
         covs = cov_fn(poses, points, ci, li, ms, w2)
-        out_cost0.append(np.asarray(cost0_fn(p0, x0, ci, li, ms, ww))[:n])
+        cost0 = cost0_fn(p0, x0, ci, li, ms, ww)
+        devs = (cost0, poses, points, w2, cost, covs)
+        for d in devs:
+            d.copy_to_host_async()
+        return e - s, devs
+
+    def materialize(pend):
+        n, (cost0, poses, points, w2, cost, covs) = pend
+        out_cost0.append(np.asarray(cost0)[:n])
         out_poses.append(np.asarray(poses)[:n])
         out_points.append(np.asarray(points)[:n])
         out_w.append(np.asarray(w2)[:n])
         out_cost.append(np.asarray(cost)[:n])
         out_cov.append(np.asarray(covs)[:n])
+
+    pend = None
+    for s in range(0, B, device_batch):
+        cur = submit(s)
+        if pend is not None:
+            materialize(pend)
+        pend = cur
+    materialize(pend)
 
     poses = np.concatenate(out_poses)
     points = np.concatenate(out_points)
