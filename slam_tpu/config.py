@@ -140,9 +140,20 @@ def enable_compile_cache(cfg: "RuntimeConfig") -> None:
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        # cache every program, even fast-compiling ones: this environment
-        # pays a remote-tunnel round trip per compilation
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # cache every program, even fast-compiling ones: on the tunneled
+        # backend even a trivial convert_element_type compile costs
+        # ~0.35 s of remote round trip, and a process compiles dozens
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        # Pallas/Mosaic serializes kernel MLIR — including full traceback
+        # locations of the TRACE SITE — into the custom-call payload,
+        # which the cache key's strip-debuginfo pass cannot reach. With
+        # full tracebacks on, any edit to ANY file on the call stack
+        # (even a shifted line number in a driving script) changes every
+        # kernel-bearing program's key, so cross-process cache hits almost
+        # never happened and every fresh process paid ~40 s per
+        # process_chunk variant. Measured: with this off, a byte-shifted
+        # caller script hits the previous run's entries.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:  # pragma: no cover - older jax without the knobs
         pass
 
