@@ -12,6 +12,24 @@ from slam_tpu.utils import metrics
 from slam_tpu.utils.profiling import StageTimer, log
 
 
+def test_enable_compile_cache_sets_stable_key_flags(tmp_path):
+    """The persistent compile cache is only useful if its keys are stable
+    across processes: Mosaic embeds trace-site tracebacks in the custom
+    -call payload (out of reach of strip-debuginfo), so full tracebacks
+    MUST be off, and the tunneled backend's ~0.35 s per trivial compile
+    means the write threshold must capture fast programs too."""
+    import jax
+
+    from slam_tpu.config import RuntimeConfig, enable_compile_cache
+
+    cfg = RuntimeConfig(compile_cache_dir=str(tmp_path / "xla"))
+    enable_compile_cache(cfg)
+    assert jax.config.jax_compilation_cache_dir == str(
+        tmp_path / "xla" / jax.default_backend())
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.1
+    assert jax.config.jax_include_full_tracebacks_in_locations is False
+
+
 def test_config_json_roundtrip(tmp_path):
     cfg = SlamConfig(
         features=FeatureConfig(max_kp=1024, detector="akaze"),
