@@ -377,6 +377,12 @@ def bench_e2e(L: np.ndarray, R: np.ndarray) -> float:
 
 
 def main() -> None:
+    from slam_tpu.config import SlamConfig, enable_compile_cache
+
+    # persistent XLA cache: steady-state numbers are unaffected (they are
+    # measured after warmup), but the driver's bench invocation stops
+    # paying ~2 min of compiles for programs it compiled last round
+    enable_compile_cache(SlamConfig().runtime)
     L, R = make_images(BENCH_FRAMES)
     fps, mfu_fe = bench_tpu(L, R)
     # two independent baseline passes: the mean is the denominator, the

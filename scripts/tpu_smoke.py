@@ -33,9 +33,13 @@ def main() -> int:
 
     import jax.numpy as jnp
 
-    from slam_tpu.config import SlamConfig
+    from slam_tpu.config import SlamConfig, enable_compile_cache
     from slam_tpu.models import frontend
     from slam_tpu.ops import pallas_kernels as pk
+
+    # a cache hit is still lowering evidence (identical program compiled
+    # on this chip before; an edited kernel gets a new key and recompiles)
+    enable_compile_cache(SlamConfig().runtime)
 
     checks: list[tuple[str, object, tuple]] = []
 
