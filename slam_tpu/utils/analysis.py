@@ -66,6 +66,57 @@ def _savefig(plt, out_dir: Path, name: str):
     plt.close()
 
 
+# Agg rasterization on this class of host costs ~0.5 ms per polyline point
+# (measured; linear in point count), so full 3360-frame curves dominate the
+# analysis stage's wall-clock. An 8-inch/110-dpi axes has ~880 pixel
+# columns: downsampling to the per-column min/max envelope is visually
+# lossless (every spike survives) and caps the draw cost. Numeric outputs
+# (analysis.json) are computed from the full arrays, never the decimated
+# ones.
+_ENVELOPE_COLS = 700
+
+
+def _envelope(x, y, cols: int = _ENVELOPE_COLS):
+    """Min-max per-column downsample of a curve for plotting.
+
+    Returns (x, y) unchanged when already small; otherwise 2*cols points
+    carrying each column's min and max."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    n = y.shape[0]
+    if n <= 2 * cols:
+        return x, y
+    edges = np.linspace(0, n, cols + 1).astype(int)
+    starts = edges[:-1]
+    lo = np.minimum.reduceat(y, starts)
+    hi = np.maximum.reduceat(y, starts)
+    xs = np.empty(2 * cols, x.dtype)
+    ys = np.empty(2 * cols, y.dtype)
+    xs[0::2] = x[starts]
+    xs[1::2] = x[edges[1:] - 1]
+    ys[0::2] = lo
+    ys[1::2] = hi
+    return xs, ys
+
+
+def _plot_dec(plt, x, y, *args, **kwargs):
+    """plt.plot of a per-frame curve, envelope-decimated for draw speed."""
+    xd, yd = _envelope(x, y)
+    plt.plot(xd, yd, *args, **kwargs)
+
+
+def _stride(points: np.ndarray, max_pts: int = 1500) -> np.ndarray:
+    """Uniform-stride subsample of a trajectory polyline (keeps endpoints)."""
+    n = points.shape[0]
+    if n <= max_pts:
+        return points
+    step = int(np.ceil(n / max_pts))
+    out = points[::step]
+    if (n - 1) % step:
+        out = np.concatenate([out, points[-1:]], axis=0)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # host-side stereo camera math (analysis never needs the accelerator; eager
 # per-op dispatch over the device tunnel is the scale bottleneck)
@@ -118,21 +169,22 @@ def plot_track_stats(out_dir, db):
 
     conn = db.connectivity()
     plt.figure(figsize=(8, 3.2))
-    plt.plot(conn)
+    _plot_dec(plt, np.arange(len(conn)), conn)
     plt.xlabel("frame")
     plt.ylabel("tracks shared with next frame")
     plt.title("Connectivity")
     _savefig(plt, out_dir, "connectivity.png")
 
+    links = db.link_valid.sum(axis=1)
     plt.figure(figsize=(8, 3.2))
-    plt.plot(db.link_valid.sum(axis=1))
+    _plot_dec(plt, np.arange(len(links)), links)
     plt.xlabel("frame")
     plt.ylabel("stereo links")
     plt.title("Matches per frame")
     _savefig(plt, out_dir, "num_matches.png")
 
     plt.figure(figsize=(8, 3.2))
-    plt.plot(db.inliers_percent)
+    _plot_dec(plt, np.arange(len(db.inliers_percent)), db.inliers_percent)
     plt.xlabel("frame")
     plt.ylabel("inliers [%]")
     plt.title("RANSAC inlier percentage")
@@ -147,10 +199,10 @@ def plot_trajectories(out_dir, T_gt, stages: dict[str, np.ndarray]):
     """x-z overlay of every stage vs ground truth (ref :451-487)."""
     plt = _plt()
     plt.figure(figsize=(7, 6))
-    c_gt = metrics.camera_centers(T_gt)
+    c_gt = _stride(metrics.camera_centers(T_gt))
     plt.plot(c_gt[:, 0], c_gt[:, 2], "k-", lw=2, label="ground truth")
     for name, T in stages.items():
-        c = metrics.camera_centers(T)
+        c = _stride(metrics.camera_centers(T))
         plt.plot(c[:, 0], c[:, 2], lw=1, label=name)
     plt.xlabel("x [m]")
     plt.ylabel("z [m]")
@@ -169,7 +221,7 @@ def plot_abs_errors(out_dir, name, T_est, T_gt, x=None):
     x = np.arange(err.shape[0]) if x is None else x
     plt.figure(figsize=(8, 4))
     for i, lbl in enumerate(["x", "y", "z", "L2"]):
-        plt.plot(x, err[:, i], label=lbl)
+        _plot_dec(plt, x, err[:, i], label=lbl)
     plt.xlabel("frame")
     plt.ylabel("abs error [m]")
     plt.legend()
@@ -178,7 +230,7 @@ def plot_abs_errors(out_dir, name, T_est, T_gt, x=None):
 
     deg = metrics.rotation_error_deg(T_est, T_gt)
     plt.figure(figsize=(8, 4))
-    plt.plot(x, deg)
+    _plot_dec(plt, x, deg)
     plt.xlabel("frame")
     plt.ylabel("rotation error [deg]")
     plt.title(f"Absolute rotation error — {name}")
@@ -279,8 +331,8 @@ def plot_rel_subsection(out_dir, name, T_est, T_gt, lengths=(100, 400, 800)):
 
     plt.figure(figsize=(8, 4))
     for L in Ls:
-        plt.plot(curves[L]["x"], curves[L]["trans_m_per_m"],
-                 label=f"{name} norm err, length {L}")
+        _plot_dec(plt, curves[L]["x"], curves[L]["trans_m_per_m"],
+                  label=f"{name} norm err, length {L}")
     mean_all = float(np.mean([curves[L]["trans_m_per_m"].mean() for L in Ls]))
     plt.axhline(mean_all, color="black", linestyle="-.",
                 label="mean location error")
@@ -293,8 +345,8 @@ def plot_rel_subsection(out_dir, name, T_est, T_gt, lengths=(100, 400, 800)):
 
     plt.figure(figsize=(8, 4))
     for L in Ls:
-        plt.plot(curves[L]["x"], curves[L]["rot_deg_per_m"],
-                 label=f"{name} angle err, length {L}")
+        _plot_dec(plt, curves[L]["x"], curves[L]["rot_deg_per_m"],
+                  label=f"{name} angle err, length {L}")
     mean_all = float(np.mean([curves[L]["rot_deg_per_m"].mean() for L in Ls]))
     plt.axhline(mean_all, color="black", linestyle="-.",
                 label="mean angle error")

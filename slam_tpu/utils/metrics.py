@@ -77,32 +77,42 @@ def relative_subsequence_error(
     (reference rel_pnp_seq_err / rel_bundle_seq_err, analysis.py:801-920,
     961-1075).
     """
-    C_gt = camera_centers(T_gt)
+    F = T_est.shape[0]
+    cum = dist_traveled(T_gt)
+    inv_est = np.linalg.inv(T_est)
+    inv_gt = np.linalg.inv(T_gt)
     out = {}
     for L in lengths:
-        if L >= T_est.shape[0]:
+        if L >= F:
             continue
-        t_errs, r_errs = [], []
-        for f in range(0, T_est.shape[0] - L):
-            rel_est = T_est[f + L] @ np.linalg.inv(T_est[f])
-            rel_gt = T_gt[f + L] @ np.linalg.inv(T_gt[f])
-            # distance traveled along GT between f and f+L
-            seg = np.linalg.norm(np.diff(C_gt[f : f + L + 1], axis=0), axis=-1)
-            dist = float(np.sum(seg))
-            if dist < 1e-6:
-                continue
-            err = rel_est @ np.linalg.inv(rel_gt)
-            t_errs.append(np.linalg.norm(err[:3, 3]) / dist)
-            tr = np.clip((np.trace(err[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
-            r_errs.append(np.degrees(np.arccos(tr)) / dist)
-        if t_errs:
+        t, r, dist = _rel_section_errors(T_est, T_gt, inv_est, inv_gt, cum, L)
+        keep = dist >= 1e-6  # zero-motion starts carry no defined rate
+        if keep.any():
             out[L] = {
-                "trans_m_per_m_mean": float(np.mean(t_errs)),
-                "trans_m_per_m_median": float(np.median(t_errs)),
-                "rot_deg_per_m_mean": float(np.mean(r_errs)),
-                "rot_deg_per_m_median": float(np.median(r_errs)),
+                "trans_m_per_m_mean": float(np.mean(t[keep])),
+                "trans_m_per_m_median": float(np.median(t[keep])),
+                "rot_deg_per_m_mean": float(np.mean(r[keep])),
+                "rot_deg_per_m_median": float(np.median(r[keep])),
             }
     return out
+
+
+def _rel_section_errors(T_est, T_gt, inv_est, inv_gt, cum, L):
+    """Vectorized per-start-frame L-section errors: (t m/m, r deg/m, dist m).
+
+    One batched 4x4 chain per start frame instead of the former Python
+    loop (O(F*L) host work at 3360 frames — the analysis stage hotspot)."""
+    s = np.arange(T_est.shape[0] - L)
+    rel_est = T_est[s + L] @ inv_est[s]
+    rel_gt = T_gt[s + L] @ inv_gt[s]
+    err = rel_est @ np.linalg.inv(rel_gt)
+    dist = cum[s + L] - cum[s]
+    safe = np.maximum(dist, 1e-6)
+    t = np.linalg.norm(err[:, :3, 3], axis=-1) / safe
+    tr = np.clip((np.trace(err[:, :3, :3], axis1=1, axis2=2) - 1) / 2,
+                 -1.0, 1.0)
+    r = np.degrees(np.arccos(tr)) / safe
+    return t, r, dist
 
 
 def relative_subsequence_curves(
@@ -125,16 +135,9 @@ def relative_subsequence_curves(
     for L in lengths:
         if L >= F:
             continue
-        s = np.arange(F - L)
-        rel_est = T_est[s + L] @ inv_est[s]
-        rel_gt = T_gt[s + L] @ inv_gt[s]
-        err = rel_est @ np.linalg.inv(rel_gt)
-        dist = np.maximum(cum[s + L] - cum[s], 1e-6)
-        t = np.linalg.norm(err[:, :3, 3], axis=-1) / dist
-        tr = np.clip((np.trace(err[:, :3, :3], axis1=1, axis2=2) - 1) / 2,
-                     -1.0, 1.0)
-        r = np.degrees(np.arccos(tr)) / dist
-        out[L] = {"x": s, "trans_m_per_m": t, "rot_deg_per_m": r}
+        t, r, _ = _rel_section_errors(T_est, T_gt, inv_est, inv_gt, cum, L)
+        out[L] = {"x": np.arange(F - L), "trans_m_per_m": t,
+                  "rot_deg_per_m": r}
     return out
 
 

@@ -91,3 +91,91 @@ def test_dist_traveled():
         T[i, 2, 3] = -z
     d = metrics.dist_traveled(T)
     np.testing.assert_allclose(d, [0.0, 1.0, 3.0, 6.0], atol=1e-6)
+
+
+def _random_trajectory(rng, F):
+    """Smooth random SE(3) trajectory as (F, 4, 4) w2c extrinsics."""
+    T = np.tile(np.eye(4, dtype=np.float64), (F, 1, 1))
+    ang = 0.0
+    pos = np.zeros(3)
+    for i in range(1, F):
+        ang += rng.normal(0.0, 0.02)
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        pos = pos + R @ np.array([0.0, 0.0, 0.8 + rng.normal(0, 0.05)])
+        T[i, :3, :3] = R.T
+        T[i, :3, 3] = -R.T @ pos
+    return T
+
+
+def test_relative_subsequence_error_matches_loop_reference():
+    """The vectorized sub-section errors must equal the direct per-start
+    loop definition (reference analysis.py:801-920 semantics)."""
+    rng = np.random.default_rng(0)
+    T_gt = _random_trajectory(rng, 60)
+    T_est = T_gt.copy()
+    T_est[:, :3, 3] += rng.normal(0.0, 0.01, size=(60, 3))
+    lengths = (7, 20)
+
+    got = metrics.relative_subsequence_error(T_est, T_gt, lengths)
+    C_gt = metrics.camera_centers(T_gt)
+    for L in lengths:
+        t_errs, r_errs = [], []
+        for f in range(60 - L):
+            rel_est = T_est[f + L] @ np.linalg.inv(T_est[f])
+            rel_gt = T_gt[f + L] @ np.linalg.inv(T_gt[f])
+            seg = np.linalg.norm(np.diff(C_gt[f:f + L + 1], axis=0), axis=-1)
+            dist = float(np.sum(seg))
+            if dist < 1e-6:
+                continue
+            err = rel_est @ np.linalg.inv(rel_gt)
+            t_errs.append(np.linalg.norm(err[:3, 3]) / dist)
+            tr = np.clip((np.trace(err[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+            r_errs.append(np.degrees(np.arccos(tr)) / dist)
+        np.testing.assert_allclose(
+            got[L]["trans_m_per_m_mean"], np.mean(t_errs), rtol=1e-9)
+        np.testing.assert_allclose(
+            got[L]["trans_m_per_m_median"], np.median(t_errs), rtol=1e-9)
+        np.testing.assert_allclose(
+            got[L]["rot_deg_per_m_mean"], np.mean(r_errs), rtol=1e-7)
+        np.testing.assert_allclose(
+            got[L]["rot_deg_per_m_median"], np.median(r_errs), rtol=1e-7)
+
+    # curves agree with the summary's per-start values
+    curves = metrics.relative_subsequence_curves(T_est, T_gt, lengths)
+    for L in lengths:
+        assert curves[L]["trans_m_per_m"].shape == (60 - L,)
+
+
+def test_relative_subsequence_error_zero_motion_skipped():
+    """Stationary starts (dist < 1e-6) are excluded, not divided by eps."""
+    F = 10
+    T = np.tile(np.eye(4, dtype=np.float64), (F, 1, 1))  # no motion at all
+    out = metrics.relative_subsequence_error(T, T, (3,))
+    assert out == {}
+
+
+def test_envelope_decimation_preserves_extremes():
+    from slam_tpu.utils.analysis import _envelope, _stride
+
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=5000)
+    y[1234] = 40.0   # spike up
+    y[4321] = -40.0  # spike down
+    x = np.arange(5000)
+    xd, yd = _envelope(x, y, cols=700)
+    assert len(yd) == 1400
+    assert yd.max() == 40.0 and yd.min() == -40.0
+    assert np.all(np.diff(xd) >= 0)  # x stays sorted for plotting
+
+    # small inputs pass through untouched
+    xs, ys = _envelope(x[:100], y[:100], cols=700)
+    np.testing.assert_array_equal(ys, y[:100])
+    assert len(ys) == 100
+
+    # stride keeps endpoints
+    pts = np.stack([x, y], axis=-1)
+    sub = _stride(pts, max_pts=500)
+    assert len(sub) <= 502
+    np.testing.assert_array_equal(sub[0], pts[0])
+    np.testing.assert_array_equal(sub[-1], pts[-1])
