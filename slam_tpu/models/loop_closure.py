@@ -150,8 +150,10 @@ def _refine_pair(
     w[:n] = 1.0
     w[L : L + n] = 1.0
     points0 = np.zeros((L, 3), np.float32)
-    # host NumPy: meas[:n] is a dynamic shape (every closure has its own
-    # inlier count) — the device call recompiled per distinct n
+    # Landmark init on host NumPy (cheap, n <= 512 points); the arrays
+    # handed to the device below are all padded to max_landmarks with
+    # zero-weight rows, so the jitted bundle compiles once for every
+    # closure regardless of its inlier count.
     points0[:n] = stereo.backproject_np(calib, meas[:n])
     poses0 = np.stack([np.eye(4, dtype=np.float32), np.asarray(T_init)])
 

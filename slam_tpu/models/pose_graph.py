@@ -22,6 +22,7 @@ from pathlib import Path
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import pg_sparse
 from ..ops import pose_graph as pg_ops
 
 _EDGE_PAD = 64   # edge capacity grows in blocks to limit recompilation
@@ -29,6 +30,14 @@ _NODE_PAD = 64   # node capacity too: the dense (6N)^2 solve and the gate
 _PAIR_PAD = 8192  # sweep recompile per exact keyframe count otherwise
 #                   (observed at scale: 651 -> 653 keyframes re-paid an
 #                   87 s pose-graph compile + 113 s gate compile)
+_LOOP_PAD = 8    # loop-edge capacity bucket for the sparse path
+
+# Above this node count optimize/gate/logdets route to the sparse
+# selected-inverse path (ops/pg_sparse.py): the dense (6N)^2 inverse is
+# O(N^3) flops + O(N^2) memory, ~1.8 GB of covariance at N=2500. The
+# dense path stays the default at reference scale (~653 keyframes), where
+# its one big batched solve beats the sparse path's sequential scans.
+SPARSE_NODE_THRESHOLD = 1024
 
 
 def sqrt_info_from_cov(cov: np.ndarray, eps: float = 1e-10) -> np.ndarray:
@@ -118,9 +127,55 @@ class PoseGraph:
         n_valid = np.concatenate([np.ones(N, bool), np.zeros(pad, bool)])
         return nodes, n_valid
 
+    def _use_sparse(self) -> bool:
+        return self.num_nodes > SPARSE_NODE_THRESHOLD
+
+    def _sparse_arrays(self):
+        """Split edges into the consecutive odometry chain and the loop
+        set, padded to the node/loop buckets (sparse-path inputs).
+
+        The chain edges must be exactly (k, k+1) in node order — which
+        ``from_bundles`` guarantees and ``add_edge`` (loop=True) preserves."""
+        chain = ~self.is_loop
+        if not (np.array_equal(self.e_i[chain],
+                               np.arange(self.num_nodes - 1))
+                and np.array_equal(self.e_j[chain],
+                                   np.arange(1, self.num_nodes))):
+            raise ValueError("sparse path requires a consecutive odometry "
+                             "chain (from_bundles layout)")
+        nodes_p, n_valid = self._padded_nodes()
+        Np = nodes_p.shape[0]
+        Z_chain = np.tile(np.eye(4, dtype=np.float32), (Np - 1, 1, 1))
+        si_chain = np.zeros((Np - 1, 6, 6), np.float32)
+        Z_chain[: self.num_nodes - 1] = self.Z[chain]
+        si_chain[: self.num_nodes - 1] = self.sqrt_info[chain]
+        K = int(self.is_loop.sum())
+        cap = max(_LOOP_PAD, ((K + _LOOP_PAD - 1) // _LOOP_PAD) * _LOOP_PAD)
+        li = np.zeros(cap, np.int32)
+        lj = np.zeros(cap, np.int32)
+        Zl = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+        sil = np.zeros((cap, 6, 6), np.float32)
+        lv = np.zeros(cap, bool)
+        li[:K] = self.e_i[self.is_loop]
+        lj[:K] = self.e_j[self.is_loop]
+        Zl[:K] = self.Z[self.is_loop]
+        sil[:K] = self.sqrt_info[self.is_loop]
+        lv[:K] = True
+        n_count = np.int32(self.num_nodes)
+        return (jnp.asarray(nodes_p), jnp.asarray(Z_chain),
+                jnp.asarray(si_chain), jnp.asarray(li), jnp.asarray(lj),
+                jnp.asarray(Zl), jnp.asarray(sil), jnp.asarray(lv),
+                jnp.asarray(n_count))
+
     def optimize(self, iters: int = 15) -> float:
         """LM re-optimization of all nodes (reference pose_graph.py:98-103).
-        Returns final cost."""
+        Returns final cost. Routes to the O(N) sparse solver above
+        SPARSE_NODE_THRESHOLD keyframes."""
+        if self._use_sparse():
+            args = self._sparse_arrays()
+            nodes, cost = pg_sparse.optimize_sparse(*args, iters=iters)
+            self.nodes = np.asarray(nodes)[: self.num_nodes]
+            return float(cost)
         e_i, e_j, Z, si, valid = self._padded_edges()
         nodes_p, n_valid = self._padded_nodes()
         nodes, cost = pg_ops.optimize(
@@ -152,9 +207,14 @@ class PoseGraph:
         2N scalars cross the host link (covariance_full would read the
         whole (6N)^2 matrix back; the uncertainty plots need just these).
         Returns (loc_logdet (N,), rot_logdet (N,))."""
+        N = self.num_nodes
+        if self._use_sparse():
+            loc, rot = pg_sparse.marginal_logdets_sparse(
+                *self._sparse_arrays()
+            )
+            return np.asarray(loc)[:N], np.asarray(rot)[:N]
         e_i, e_j, Z, si, valid = self._padded_edges()
         nodes_p, n_valid = self._padded_nodes()
-        N = self.num_nodes
         loc, rot = pg_ops.marginal_logdets(
             jnp.asarray(nodes_p), jnp.asarray(e_i), jnp.asarray(e_j),
             jnp.asarray(Z), jnp.asarray(si), jnp.asarray(valid),
@@ -168,14 +228,21 @@ class PoseGraph:
         the (P,) distances cross the host link, never the (6N, 6N) covariance.
         Pairs are padded to the _PAIR_PAD bucket (the sweep count N(N-1)/2
         would otherwise bake the exact keyframe count into the compile)."""
-        e_i, e_j, Z, si, valid = self._padded_edges()
-        nodes_p, n_valid = self._padded_nodes()
         P = len(pair_i)
         cap = max(_PAIR_PAD, ((P + _PAIR_PAD - 1) // _PAIR_PAD) * _PAIR_PAD)
         pi = np.zeros(cap, np.int32)
         pj = np.zeros(cap, np.int32)
         pi[:P] = pair_i
         pj[:P] = pair_j
+        if self._use_sparse():
+            d = np.asarray(
+                pg_sparse.gate_matrix_sparse(
+                    *self._sparse_arrays(), jnp.asarray(pi), jnp.asarray(pj)
+                )
+            )
+            return d[:P]
+        e_i, e_j, Z, si, valid = self._padded_edges()
+        nodes_p, n_valid = self._padded_nodes()
         d = np.asarray(
             pg_ops.gate_matrix(
                 jnp.asarray(nodes_p), jnp.asarray(e_i), jnp.asarray(e_j),

@@ -87,15 +87,24 @@ def _envelope(x, y, cols: int = _ENVELOPE_COLS):
     if n <= 2 * cols:
         return x, y
     edges = np.linspace(0, n, cols + 1).astype(int)
-    starts = edges[:-1]
-    lo = np.minimum.reduceat(y, starts)
-    hi = np.maximum.reduceat(y, starts)
+    # Per-column argmin/argmax so each extreme is emitted at its TRUE x
+    # (not the column's first/last x): stable lexsort by (column, value)
+    # makes group c occupy sorted positions [edges[c], edges[c+1]), so the
+    # group's first/last entries are its argmin/argmax.
+    col = np.repeat(np.arange(cols), np.diff(edges))
+    order = np.lexsort((y, col))
+    imin = order[edges[:-1]]
+    imax = order[edges[1:] - 1]
+    # NaNs sort last under lexsort; a column that is all-NaN would yield
+    # imin==imax pointing at a NaN, which plots as a gap — correct.
+    first = np.minimum(imin, imax)
+    second = np.maximum(imin, imax)
     xs = np.empty(2 * cols, x.dtype)
     ys = np.empty(2 * cols, y.dtype)
-    xs[0::2] = x[starts]
-    xs[1::2] = x[edges[1:] - 1]
-    ys[0::2] = lo
-    ys[1::2] = hi
+    xs[0::2] = x[first]
+    xs[1::2] = x[second]
+    ys[0::2] = y[first]
+    ys[1::2] = y[second]
     return xs, ys
 
 

@@ -135,7 +135,14 @@ def relative_subsequence_curves(
     for L in lengths:
         if L >= F:
             continue
-        t, r, _ = _rel_section_errors(T_est, T_gt, inv_est, inv_gt, cum, L)
+        t, r, dist = _rel_section_errors(T_est, T_gt, inv_est, inv_gt, cum, L)
+        # Same undefined-rate treatment as relative_subsequence_error: a
+        # zero-motion start (dist < 1e-6) has no defined per-meter rate.
+        # NaN makes matplotlib break the line instead of drawing the
+        # 1e-6-clamp spike.
+        bad = dist < 1e-6
+        t = np.where(bad, np.nan, t)
+        r = np.where(bad, np.nan, r)
         out[L] = {"x": np.arange(F - L), "trans_m_per_m": t,
                   "rot_deg_per_m": r}
     return out

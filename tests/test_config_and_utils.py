@@ -167,6 +167,9 @@ def test_envelope_decimation_preserves_extremes():
     assert len(yd) == 1400
     assert yd.max() == 40.0 and yd.min() == -40.0
     assert np.all(np.diff(xd) >= 0)  # x stays sorted for plotting
+    # extremes are emitted at their TRUE x positions (ADVICE r3)
+    assert xd[np.argmax(yd)] == 1234
+    assert xd[np.argmin(yd)] == 4321
 
     # small inputs pass through untouched
     xs, ys = _envelope(x[:100], y[:100], cols=700)
