@@ -36,7 +36,9 @@ H, W = 376, 1241
 BENCH_FRAMES = 96  # 11 timed chunks: 5 was too few to amortize dispatch jitter
 CHUNK = 8
 BASELINE_FRAMES = 16  # timed frames (frame 0 is processed as warmup)
-BA_WINDOWS = 64
+BA_WINDOWS = 128  # dispatch batch: measured optimum (64: 131 w/s, 128:
+#                   161, 256: 155 — r4 batch sweep); production runs 653
+#                   windows so a 128-window dispatch is what it executes
 
 # Peak MXU throughput by device kind (bf16 FLOP/s, the currency of the
 # scaling-book MFU convention). MFU here = XLA-counted FLOPs / wall-clock
@@ -361,17 +363,21 @@ def bench_ba_windows() -> tuple[float, float]:
 
 
 def bench_e2e(L: np.ndarray, R: np.ndarray) -> float:
-    """End-to-end pipeline fps (frontend + track store + BA + pose graph)
-    on the rendered scene, including all host stages. Measured warm (second
-    run, XLA compile cache populated): at 48 frames a cold run is >90%
-    compilation, which amortizes to nothing over a real sequence."""
+    """End-to-end pipeline fps on the rendered scene: frontend + track
+    store + BA + pose graph + LOOP CLOSURE (gate + verification + LC pose
+    graph), including all host stages — every per-sequence compute stage
+    of the reference driver (project.py:27-94) except the matplotlib
+    analysis/plot emission, which is measured separately at reference
+    scale (BENCH.md). Measured warm (second run, XLA compile cache
+    populated): at 96 frames a cold run is >90% compilation, which
+    amortizes to nothing over a real sequence."""
     from slam_tpu.pipeline import run_pipeline
     from slam_tpu.utils.synthetic import KITTI_CALIB
 
     calib = np.asarray(KITTI_CALIB)
-    run_pipeline(L, R, calib, run_loop_closure=False, verbose=False)
+    run_pipeline(L, R, calib, run_loop_closure=True, verbose=False)
     t0 = time.perf_counter()
-    run_pipeline(L, R, calib, run_loop_closure=False, verbose=False)
+    run_pipeline(L, R, calib, run_loop_closure=True, verbose=False)
     dt = time.perf_counter() - t0
     return L.shape[0] / dt
 
@@ -402,7 +408,7 @@ def main() -> None:
             "cpu_reference_fps": round(ref_fps, 3),
             "cpu_reference_fps_runs": [round(ref_a, 3), round(ref_b, 3)],
             "ba_windows_per_sec_P24_L512_M4096": round(ba_wps, 2),
-            "e2e_pipeline_fps": round(e2e_fps, 2),
+            "e2e_fps_incl_loop_closure": round(e2e_fps, 2),
             "mfu_frontend": round(mfu_fe, 4),
             "mfu_ba": round(mfu_ba, 4),
         },

@@ -231,6 +231,38 @@ def main() -> int:
     report["num_keyframes"] = len(bundles.keyframes)
     report["num_windows"] = int(bundles.poses.shape[0])
     report["frames"] = int(args.frames)
+
+    # ---- fixed-RANSAC-budget accounting (VERDICT r3 item 6) --------------
+    # The reference sizes RANSAC iterations adaptively from the running
+    # inlier rate: n(w) = log(1-p) / log(1 - w^4), p = 1 - 1e-10
+    # (final_project/algorithms/ransac.py:59-67). Our frontend uses a fixed
+    # 512-hypothesis batch; this records what the adaptive formula would
+    # have demanded at each frame's MEASURED inlier rate, and whether the
+    # frames in the demand tail (> 512) show elevated pose error.
+    wobs = np.asarray(fe.inlier_frac[1:], np.float64)
+    wfl = np.clip(wobs, 0.05, 0.999999)  # ref floors the rate at 0.05
+    p4 = np.clip(wfl ** 4, 1e-300, 1.0 - 1e-12)
+    demand = np.ceil(np.log(1e-10) / np.log1p(-p4))
+    # per-frame consecutive relative translation error of the frontend
+    rel_est = np.einsum("fij,fjk->fik", fe.T_w2c[1:],
+                        np.linalg.inv(fe.T_w2c[:-1]))
+    rel_gt = np.einsum("fij,fjk->fik", T_gt[1:], np.linalg.inv(T_gt[:-1]))
+    rel_err = np.linalg.norm(rel_est[:, :3, 3] - rel_gt[:, :3, 3], axis=-1)
+    tail = demand > 512
+    report["ransac_budget"] = {
+        "fixed_hypotheses": int(cfg.ransac.num_hypotheses),
+        "adaptive_demand_p50": float(np.percentile(demand, 50)),
+        "adaptive_demand_p99": float(np.percentile(demand, 99)),
+        "adaptive_demand_max": float(demand.max()),
+        "frac_frames_covered_by_512": float((demand <= 512).mean()),
+        "tail_frames_gt512": int(tail.sum()),
+        "rel_trans_err_m_median_all": float(np.median(rel_err)),
+        "rel_trans_err_m_median_tail": (
+            float(np.median(rel_err[tail])) if tail.any() else None),
+        "inlier_frac_p01": float(np.percentile(wobs, 1)),
+        "inlier_frac_median": float(np.median(wobs)),
+    }
+    log(f"ransac budget accounting: {json.dumps(report['ransac_budget'])}")
     pipeline_mod.save_report(out / "report.json", report)
     log("report written: " + json.dumps(
         {k: report[k] for k in ("num_closures", "num_keyframes",

@@ -67,17 +67,40 @@ def _jtr3(J, r):
             + J[..., 2, :] * r[..., 2, None])
 
 
-def _residuals(poses, points, cam_idx, lm_idx, meas, w, calib):
-    """Weighted stereo reprojection residuals (M, 3)."""
-    T = poses[cam_idx]                      # (M, 4, 4)
-    X = points[lm_idx]                      # (M, 3)
+def _gather_obs(poses, points, cam_idx, lm_idx, onehots=None):
+    """Per-observation (T (M,4,4), X (M,3)) lookup.
+
+    With ``onehots`` the random-access gathers become one-hot matmuls —
+    EXACT (one-hot entries are 0/1; one nonzero term per output row) and
+    measurably faster on TPU, where table gathers serialize per index
+    (profiled in scripts/bench_ba_variants.py: the gather form made the
+    residual+Jacobian phase the single largest LM cost)."""
+    if onehots is None:
+        return poses[cam_idx], points[lm_idx]
+    oc, ol = onehots
+    P = poses.shape[0]
+    T = (oc @ poses.reshape(P, 16)).reshape(-1, 4, 4)
+    X = ol @ points
+    return T, X
+
+
+def _residuals_tx(T, X, meas, w, calib):
+    """Weighted stereo reprojection residuals (M, 3) from pre-gathered
+    per-observation poses/landmarks."""
     Xc = _mv3(T[:, :3, :3], X) + T[:, :3, 3]
     pred = stereo.project(calib, Xc)
     return (pred - meas) * w[:, None], Xc
 
 
-def _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc):
-    """Analytic per-observation Jacobians.
+def _residuals(poses, points, cam_idx, lm_idx, meas, w, calib,
+               onehots=None):
+    """Weighted stereo reprojection residuals (M, 3)."""
+    T, X = _gather_obs(poses, points, cam_idx, lm_idx, onehots)
+    return _residuals_tx(T, X, meas, w, calib)
+
+
+def _jacobians_tx(T, X, w, calib, Xc):
+    """Analytic per-observation Jacobians (from pre-gathered T, X).
 
     J_pose (M, 3, 6) w.r.t. the right-perturbation T*exp([w, v]) of the
     observing pose; J_lm (M, 3, 3) w.r.t. the landmark. Derivation:
@@ -99,13 +122,18 @@ def _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc):
         ],
         axis=-2,
     )
-    R = poses[cam_idx][:, :3, :3]           # (M, 3, 3)
-    X = points[lm_idx]                      # (M, 3) window frame
+    R = T[:, :3, :3]                        # (M, 3, 3)
     JR = _mm33(Jproj, R)                               # (M, 3, 3)
     J_lm = JR * w[:, None, None]
     J_rot = -_mm33(JR, se3.hat(X))                     # (M, 3, 3)
     J_pose = jnp.concatenate([J_rot, JR], axis=-1) * w[:, None, None]  # (M,3,6)
     return J_pose, J_lm
+
+
+def _jacobians(poses, points, cam_idx, lm_idx, w, calib, Xc,
+               onehots=None):
+    T, X = _gather_obs(poses, points, cam_idx, lm_idx, onehots)
+    return _jacobians_tx(T, X, w, calib, Xc)
 
 
 # ---------------------------------------------------------------------------
@@ -152,6 +180,59 @@ def _build_blocks_onehot(J_pose, J_lm, r, oc, ol, P, L):
     return g_p, g_l, Hpp, Hll, Wc
 
 
+def _bf16mm(a, b, passes: int = 1):
+    """Reduced-precision MXU matmul with float32 accumulation, bypassing
+    the surrounding @full_precision f32 emulation.
+
+    passes=1: bf16 inputs, single pass (~4e-3 relative).
+    passes=3: f32 inputs split into bf16 triples by the MXU (HIGH —
+      ~f32 fidelity at half the 6-pass HIGHEST cost)."""
+    if passes == 1:
+        return jax.lax.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           precision=jax.lax.Precision.DEFAULT,
+                           preferred_element_type=jnp.float32)
+    return jax.lax.dot(a, b, precision=jax.lax.Precision.HIGH,
+                       preferred_element_type=jnp.float32)
+
+
+def _build_blocks_onehot_bf16(J_pose, J_lm, r, oc, ol, P, L,
+                              passes: int = 1):
+    """One-hot block build with the HESSIAN contractions at reduced MXU
+    precision.
+
+    Inexact-Newton split: the gradient (g_p, g_l) keeps full f32 matmul
+    precision — it sets the optimum the iteration converges to — while
+    Hpp/Hll/Wc take ``passes``-pass MXU matmuls, which only perturbs the
+    step DIRECTION (the f32 cost accept/reject in the LM driver guards
+    every step).
+
+    passes matters when the reduced pose system is ill-conditioned:
+    cond(S) beyond ~1/eps_mm makes the step's weak-direction components
+    garbage — the cost barely moves (those directions are flat) but the
+    chained trajectory drifts. Measured on the 80-frame CLI loop scene:
+    1-pass bf16 inflated keyframe ATE 0.139 -> 0.243 m while the median
+    window cost changed <1% (low-parallax windows); 3-pass restored ATE
+    parity at ~half the HIGHEST-precision block cost.
+    """
+    g_p = oc.T @ _jtr3(J_pose, r)                                  # (P, 6)
+    g_l = ol.T @ _jtr3(J_lm, r)                                    # (L, 3)
+    opp = _outer3(J_pose, J_pose).reshape(-1, 36)
+    Hpp = _bf16mm(oc.T, opp, passes).reshape(P, 6, 6)
+    oll = _outer3(J_lm, J_lm).reshape(-1, 9)
+    Hll = _bf16mm(ol.T, oll, passes).reshape(L, 3, 3)
+    if passes == 1:
+        opl = _outer3(J_pose, J_lm).reshape(-1, 18).astype(jnp.bfloat16)
+        z = oc.astype(jnp.bfloat16)[:, :, None] * opl[:, None, :]
+        Wc = _bf16mm(ol.T.astype(jnp.bfloat16),
+                     z.reshape(-1, P * 18), 1).reshape(L, P, 6, 3)
+    else:
+        opl = _outer3(J_pose, J_lm).reshape(-1, 18)
+        z = oc[:, :, None] * opl[:, None, :]                # (M, P, 18)
+        Wc = _bf16mm(ol.T, z.reshape(-1, P * 18),
+                     passes).reshape(L, P, 6, 3)
+    return g_p, g_l, Hpp, Hll, Wc
+
+
 def _inv3x3(A):
     """Closed-form batched 3x3 inverse (adjugate/det) — avoids the general
     LU path for the (L,) landmark blocks."""
@@ -178,15 +259,21 @@ def _inv3x3(A):
 
 
 def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
-                 onehots=None):
+                 onehots=None, mm_passes=0):
     """Solve the damped normal equations by landmark marginalization.
 
     Returns (delta_poses (P, 6), delta_points (L, 3)). Pose 0 is frozen.
     With ``onehots`` = (oc (M, P), ol (M, L)) the blocks are built by MXU
-    matmul contraction instead of scatter-add (see _build_blocks_onehot).
-    """
+    matmul contraction instead of scatter-add (see _build_blocks_onehot);
+    ``mm_passes`` in (1, 3) additionally runs the Hessian contractions
+    and the Schur reduction matmul at reduced MXU precision (f32
+    gradient — inexact Newton; see _build_blocks_onehot_bf16)."""
     dtype = J_pose.dtype
-    if onehots is not None:
+    if onehots is not None and mm_passes:
+        g_p, g_l, Hpp, Hll, Wc = _build_blocks_onehot_bf16(
+            J_pose, J_lm, r, onehots[0], onehots[1], P, L,
+            passes=mm_passes)
+    elif onehots is not None:
         g_p, g_l, Hpp, Hll, Wc = _build_blocks_onehot(
             J_pose, J_lm, r, onehots[0], onehots[1], P, L)
     else:
@@ -206,7 +293,10 @@ def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
              + Wc[..., 2, None] * Hll_inv[:, None, None, 2, :])  # (L, P, 6, 3)
     A = jnp.transpose(WHinv, (1, 2, 0, 3)).reshape(P * 6, L * 3)
     Bm = jnp.transpose(Wc, (1, 2, 0, 3)).reshape(P * 6, L * 3)
-    U = (A @ Bm.T).reshape(P, 6, P, 6)
+    if mm_passes:
+        U = _bf16mm(A, Bm.T, mm_passes).reshape(P, 6, P, 6)
+    else:
+        U = (A @ Bm.T).reshape(P, 6, P, 6)
     S = -U
     diag = jnp.arange(P)
     S = S.at[diag, :, diag, :].add(Hpp_d)
@@ -234,8 +324,9 @@ def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
 # LM driver
 # ---------------------------------------------------------------------------
 
-def _cost(poses, points, cam_idx, lm_idx, meas, w, calib):
-    r, _ = _residuals(poses, points, cam_idx, lm_idx, meas, w, calib)
+def _cost(poses, points, cam_idx, lm_idx, meas, w, calib, onehots=None):
+    r, _ = _residuals(poses, points, cam_idx, lm_idx, meas, w, calib,
+                      onehots=onehots)
     return 0.5 * jnp.sum(r * r)
 
 
@@ -251,13 +342,20 @@ def default_engine() -> str:
     """Schur-block engine by backend: matmul contraction feeds the MXU on
     accelerators; scatter-add is smaller and faster on CPU hosts.
 
-    (A third engine — inverting the index maps once per solve and building
-    the blocks by one (L, P, 72) gather — was prototyped and measured 1.9x
-    SLOWER than one-hot matmuls on TPU at bench shapes: the random-access
-    gather loses to the MXU even at 6-pass f32 emulation.)"""
+    On accelerators the default is "onehot_b3": 3-pass (bf16x3, ~f32
+    fidelity) Hessian-block matmuls with an f32 gradient — ~1.7x the
+    6-pass f32 one-hot engine at bench shapes with keyframe-ATE parity.
+    The 1-pass "onehot_bf16" engine is faster still (2.1x) but inflates
+    trajectory error on low-parallax windows where cond(S) exceeds
+    1/eps_bf16 (see _build_blocks_onehot_bf16) — opt-in only.
+
+    (A fourth engine — inverting the index maps once per solve and
+    building the blocks by one (L, P, 72) gather — was prototyped and
+    measured 1.9x SLOWER than one-hot matmuls on TPU at bench shapes: the
+    random-access gather loses to the MXU even at 6-pass f32 emulation.)"""
     import jax as _jax
 
-    return "scatter" if _jax.default_backend() == "cpu" else "onehot"
+    return "scatter" if _jax.default_backend() == "cpu" else "onehot_b3"
 
 
 @partial(jax.jit, static_argnames=("iters", "huber_delta", "engine"))
@@ -285,10 +383,16 @@ def optimize_bundle(
     gates.
 
     ``engine``: "onehot" builds the Schur blocks by MXU matmul contraction
-    against index one-hots (TPU fast path — scatter-add serializes on
-    TPU); "scatter" is the XLA scatter-add path (lower memory, the better
-    choice on CPU). Default (None) resolves by backend at trace time:
-    scatter on cpu, onehot elsewhere.
+    against index one-hots (scatter-add serializes on TPU); "onehot_b3"
+    runs the Hessian contractions at 3-pass bf16x3 precision with an f32
+    gradient (the TPU default — ~f32 fidelity, half the HIGHEST-pass
+    cost); "onehot_bf16" uses single-pass bf16 blocks (fastest, but
+    inflates ATE on ill-conditioned windows — opt-in); "scatter" is the
+    XLA scatter-add path (lower memory, the better choice on CPU).
+    Default (None) resolves by backend at trace time: scatter on cpu,
+    onehot_b3 elsewhere. The one-hot engines also serve the
+    per-observation pose/landmark lookups as exact one-hot matmuls
+    instead of gathers.
 
     Returns (poses, points, final_cost, lam).
     """
@@ -297,29 +401,31 @@ def optimize_bundle(
     if engine is None:
         engine = default_engine()
     onehots = None
-    if engine == "onehot":
+    if engine in ("onehot", "onehot_b3", "onehot_bf16"):
         dt = poses.dtype
         onehots = (
             (cam_idx[:, None] == jnp.arange(P, dtype=cam_idx.dtype)).astype(dt),
             (lm_idx[:, None] == jnp.arange(L, dtype=lm_idx.dtype)).astype(dt),
         )
+    mm_passes = {"onehot_bf16": 1, "onehot_b3": 3}.get(engine, 0)
 
     def step(carry, _):
         poses, points, lam, cost = carry
-        r, Xc = _residuals(poses, points, cam_idx, lm_idx, meas, w, calib)
+        T, X = _gather_obs(poses, points, cam_idx, lm_idx, onehots)
+        r, Xc = _residuals_tx(T, X, meas, w, calib)
         if huber_delta > 0.0:
             hw = _huber_weights(r, huber_delta)
             r = r * hw[:, None]
             w_eff = w * hw
         else:
             w_eff = w
-        J_pose, J_lm = _jacobians(poses, points, cam_idx, lm_idx, w_eff,
-                                  calib, Xc)
+        J_pose, J_lm = _jacobians_tx(T, X, w_eff, calib, Xc)
         dp, dl = _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
-                              onehots=onehots)
+                              onehots=onehots, mm_passes=mm_passes)
         new_poses = jax.vmap(se3.retract)(poses, dp)
         new_points = points + dl
-        new_cost = _cost(new_poses, new_points, cam_idx, lm_idx, meas, w, calib)
+        new_cost = _cost(new_poses, new_points, cam_idx, lm_idx, meas, w,
+                         calib, onehots=onehots)
         ok = jnp.isfinite(new_cost) & (new_cost < cost)
         poses = jnp.where(ok, new_poses, poses)
         points = jnp.where(ok, new_points, points)
@@ -327,7 +433,8 @@ def optimize_bundle(
         cost = jnp.where(ok, new_cost, cost)
         return (poses, points, lam, cost), cost
 
-    cost0 = _cost(poses, points, cam_idx, lm_idx, meas, w, calib)
+    cost0 = _cost(poses, points, cam_idx, lm_idx, meas, w, calib,
+                  onehots=onehots)
     (poses, points, lam, cost), _ = jax.lax.scan(
         step, (poses, points, jnp.asarray(lam0, poses.dtype), cost0), None,
         length=iters,

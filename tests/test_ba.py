@@ -193,3 +193,41 @@ def test_depth_pruning_kills_bad_landmarks():
     w3 = ba.prune_depth_weights(poses0, points_far, ci, li, w)
     dropped = set(np.asarray(li)[np.asarray(w3) == 0.0].tolist())
     assert 1 in dropped
+
+
+def test_engines_agree_including_bf16():
+    """The three Schur-block engines must land on the same optimum.
+
+    scatter vs onehot are bit-for-bit-grade equivalent (both f32); the
+    bf16 engine perturbs only the Hessian (f32 gradient — inexact Newton,
+    see ba._build_blocks_onehot_bf16), so its final cost must match to
+    well under the measurement noise floor and its poses to sub-mm."""
+    key = jax.random.PRNGKey(7)
+    poses_gt, points_gt, poses0, points0, ci, li, meas, w = make_problem(
+        key, P=6, L=64, noise_px=0.3
+    )
+    outs = {
+        eng: ba.optimize_bundle(
+            poses0, points0, ci, li, meas, w, CALIB, iters=20, engine=eng
+        )
+        for eng in ("scatter", "onehot", "onehot_b3", "onehot_bf16")
+    }
+    c_sc = float(outs["scatter"][2])
+    c_oh = float(outs["onehot"][2])
+    c_b3 = float(outs["onehot_b3"][2])
+    c_bf = float(outs["onehot_bf16"][2])
+    assert abs(c_oh - c_sc) < 1e-3 * c_sc
+    assert abs(c_b3 - c_sc) < 2e-3 * c_sc, (c_b3, c_sc)
+    assert abs(c_bf - c_sc) < 5e-3 * c_sc, (c_bf, c_sc)
+    for p in range(6):
+        d = se3.local(outs["scatter"][0][p], outs["onehot_bf16"][0][p])
+        assert float(jnp.linalg.norm(d)) < 1e-3, (p, d)
+    # landmarks: weakly constrained far points may settle anywhere in the
+    # flat cost valley (0.3 px noise -> tens of cm of depth ambiguity at
+    # 38 m), so compare each engine's ACCURACY against ground truth
+    # rather than point-for-point identity
+    err_sc = float(jnp.mean(jnp.linalg.norm(
+        outs["scatter"][1] - points_gt, axis=-1)))
+    err_bf = float(jnp.mean(jnp.linalg.norm(
+        outs["onehot_bf16"][1] - points_gt, axis=-1)))
+    assert err_bf < err_sc + 0.01, (err_bf, err_sc)
