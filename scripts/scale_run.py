@@ -48,6 +48,14 @@ def main() -> int:
     ap.add_argument("--hw", type=int, nargs=2, default=[376, 1241])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (shakedown runs)")
+    ap.add_argument("--detector", choices=["harris", "akaze", "orb"],
+                    default="harris")
+    ap.add_argument("--octaves", type=int, default=None,
+                    help="pyramid/scale-space octaves (FeatureConfig."
+                         "num_levels; reference AKAZE uses 4)")
+    ap.add_argument("--render-from", type=Path, default=None,
+                    help="reuse another run's rendered images/gt/calib "
+                         "(hardlinked into --out) instead of re-rendering")
     args = ap.parse_args()
 
     if args.cpu:
@@ -86,6 +94,15 @@ def main() -> int:
     from slam_tpu.utils import synthetic
 
     cfg = SlamConfig()
+    if args.detector != "harris" or args.octaves is not None:
+        from dataclasses import replace
+
+        fc = replace(cfg.features, detector=args.detector,
+                     num_levels=args.octaves
+                     if args.octaves is not None else cfg.features.num_levels)
+        cfg = replace(cfg, features=fc)
+        log(f"feature config: detector={fc.detector} "
+            f"num_levels={fc.num_levels}")
     cfg.save(out / "config.json")
     from slam_tpu.config import enable_compile_cache
 
@@ -94,6 +111,16 @@ def main() -> int:
     # ---- stage 1: scene + render -----------------------------------------
     fL, fR = out / "images_L.npy", out / "images_R.npy"
     f_gt, f_calib = out / "gt_T_w2c.npy", out / "calib.npy"
+    if args.render_from is not None and not fL.exists():
+        import os
+
+        for name in ("images_L.npy", "images_R.npy", "gt_T_w2c.npy",
+                     "calib.npy"):
+            src = args.render_from / name
+            if not src.exists():
+                raise SystemExit(f"--render-from: missing {src}")
+            os.link(src, out / name)
+        log(f"render reused from {args.render_from}")
     if fresh("render", fL, fR, f_gt, f_calib):
         t0 = time.perf_counter()
         log(f"building clover scene: {args.frames} frames, "
@@ -239,6 +266,7 @@ def main() -> int:
     # 512-hypothesis batch; this records what the adaptive formula would
     # have demanded at each frame's MEASURED inlier rate, and whether the
     # frames in the demand tail (> 512) show elevated pose error.
+    budget = int(cfg.ransac.num_hypotheses)
     wobs = np.asarray(fe.inlier_frac[1:], np.float64)
     wfl = np.clip(wobs, 0.05, 0.999999)  # ref floors the rate at 0.05
     p4 = np.clip(wfl ** 4, 1e-300, 1.0 - 1e-12)
@@ -248,14 +276,14 @@ def main() -> int:
                         np.linalg.inv(fe.T_w2c[:-1]))
     rel_gt = np.einsum("fij,fjk->fik", T_gt[1:], np.linalg.inv(T_gt[:-1]))
     rel_err = np.linalg.norm(rel_est[:, :3, 3] - rel_gt[:, :3, 3], axis=-1)
-    tail = demand > 512
+    tail = demand > budget
     report["ransac_budget"] = {
-        "fixed_hypotheses": int(cfg.ransac.num_hypotheses),
+        "fixed_hypotheses": budget,
         "adaptive_demand_p50": float(np.percentile(demand, 50)),
         "adaptive_demand_p99": float(np.percentile(demand, 99)),
         "adaptive_demand_max": float(demand.max()),
-        "frac_frames_covered_by_512": float((demand <= 512).mean()),
-        "tail_frames_gt512": int(tail.sum()),
+        "frac_frames_covered_by_budget": float((demand <= budget).mean()),
+        "tail_frames_over_budget": int(tail.sum()),
         "rel_trans_err_m_median_all": float(np.median(rel_err)),
         "rel_trans_err_m_median_tail": (
             float(np.median(rel_err[tail])) if tail.any() else None),
