@@ -688,22 +688,17 @@ def run_frontend(
     last_ckpt = first_start
     seg_outs: list = []
     seg_T: list = []
-    # software-pipelined transfers on a WORKER THREAD: through the tunnel
-    # jax.device_put blocks the calling thread for the full socket write
-    # (~150-200 ms per stereo chunk at 40-50 MB/s), which serialized
-    # upload(s+1) -> dispatch(s) -> readback(s-1) on one thread. The
-    # single-lane executor overlaps the next chunk's upload with the
-    # current chunk's compute + the previous chunk's readback; bandwidth
-    # itself is unaffected (bench_transfer: 1 stream already saturates).
-    from concurrent.futures import ThreadPoolExecutor
-
-    uploader = ThreadPoolExecutor(1)
-
-    def ship(start):
-        bl, br, n = host_chunk(start)
-        return jax.device_put(bl), jax.device_put(br), n
-
-    next_fut = uploader.submit(ship, starts[0])
+    # software-pipelined transfers: ship chunk s+1 while s computes.
+    # NOTE (r4 negative result): moving the device_put onto a worker
+    # thread — to overlap the ~150-200 ms socket write with compute and
+    # readback — HANGS the tunnel client (a worker-thread device_put
+    # racing the main thread's execute/readback RPCs deadlocked even an
+    # 80-frame run; same failure family as the cross-process hangs in
+    # NOTES_ROUND3). Uploads therefore stay on the main thread; the
+    # device still overlaps its compute with the PREVIOUS chunk's
+    # deferred readback (materialize below).
+    next_blocks = host_chunk(starts[0])
+    next_dev = (jax.device_put(next_blocks[0]), jax.device_put(next_blocks[1]))
 
     def materialize(pend):
         """Block on a finished chunk's (async-started) host copies and fold
@@ -734,26 +729,27 @@ def run_frontend(
             seg_outs, seg_T = [], []
 
     pending = None
-    try:
-        for i, start in enumerate(starts):
-            block_l, block_r, n = next_fut.result()
-            if i + 1 < len(starts):
-                next_fut = uploader.submit(ship, starts[i + 1])
-            sub = jax.random.fold_in(base_key, start // chunk)
-            out, carry = process_chunk(block_l, block_r, carry, calib, sub,
-                                       cfg)
-            # descriptors never cross to the host (round-2 lesson: at
-            # ~0.5 MB/frame their readback dominated end-to-end wall-clock)
-            desc_chunks.append((start, n, out.pop("desc")[:n]))
-            sliced = out if n == chunk else jax.tree.map(lambda x: x[:n], out)
-            for x in jax.tree.leaves(sliced):
-                x.copy_to_host_async()
-            if pending is not None:
-                materialize(pending)
-            pending = (start, n, sliced, carry, i + 1 == len(starts))
-        materialize(pending)
-    finally:
-        uploader.shutdown(wait=False)
+    for i, start in enumerate(starts):
+        block_l, block_r = next_dev
+        n = next_blocks[2]
+        if i + 1 < len(starts):
+            next_blocks = host_chunk(starts[i + 1])
+            next_dev = (
+                jax.device_put(next_blocks[0]),
+                jax.device_put(next_blocks[1]),
+            )
+        sub = jax.random.fold_in(base_key, start // chunk)
+        out, carry = process_chunk(block_l, block_r, carry, calib, sub, cfg)
+        # descriptors never cross to the host (round-2 lesson: at
+        # ~0.5 MB/frame their readback dominated end-to-end wall-clock)
+        desc_chunks.append((start, n, out.pop("desc")[:n]))
+        sliced = out if n == chunk else jax.tree.map(lambda x: x[:n], out)
+        for x in jax.tree.leaves(sliced):
+            x.copy_to_host_async()
+        if pending is not None:
+            materialize(pending)
+        pending = (start, n, sliced, carry, i + 1 == len(starts))
+    materialize(pending)
     return _assemble_result(outs, T_w2c_all, desc_chunks, _recompute_desc)
 
 
