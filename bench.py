@@ -382,6 +382,35 @@ def bench_e2e(L: np.ndarray, R: np.ndarray) -> float:
     return L.shape[0] / dt
 
 
+def _fail(stage: str, exc: BaseException) -> None:
+    """Emit ONE diagnostic JSON line naming the failing bench stage.
+
+    A Mosaic lowering / XLA compile failure anywhere in the bench used to
+    surface as a bare rc=1 with the error buried in a traceback the driver
+    does not record (VERDICT r3 weak #7: round 2's on-chip atan2 lowering
+    crash was invisible in BENCH_r02.json). The ``error`` object makes the
+    failure class readable straight from BENCH_r*.json."""
+    import traceback
+
+    print(json.dumps({
+        "metric": "frontend_fps_kitti_stereo_376x1241",
+        "value": None,
+        "unit": "frames/sec",
+        "vs_baseline": None,
+        "error": {
+            "stage": stage,
+            "type": type(exc).__name__,
+            "msg": str(exc)[:2000],
+            "lowering_failure": type(exc).__name__ in (
+                "MosaicError", "XlaRuntimeError", "InternalError",
+                "UnimplementedError", "NotImplementedError",
+            ) or "Mosaic" in str(exc) or "lowering" in str(exc).lower(),
+        },
+    }))
+    traceback.print_exc()
+    raise SystemExit(1)
+
+
 def main() -> None:
     from slam_tpu.config import SlamConfig, enable_compile_cache
 
@@ -390,14 +419,23 @@ def main() -> None:
     # paying ~2 min of compiles for programs it compiled last round
     enable_compile_cache(SlamConfig().runtime)
     L, R = make_images(BENCH_FRAMES)
-    fps, mfu_fe = bench_tpu(L, R)
+    try:
+        fps, mfu_fe = bench_tpu(L, R)
+    except Exception as e:  # noqa: BLE001 — diagnostic funnel, re-raises
+        _fail("frontend", e)
     # two independent baseline passes: the mean is the denominator, the
     # spread documents its stability (VERDICT r2 weak #5)
     ref_a = bench_cpu_reference(L, R)
     ref_b = bench_cpu_reference(L, R)
     ref_fps = 0.5 * (ref_a + ref_b) if (ref_a and ref_b) else (ref_a or ref_b)
-    ba_wps, mfu_ba = bench_ba_windows()
-    e2e_fps = bench_e2e(L, R)
+    try:
+        ba_wps, mfu_ba = bench_ba_windows()
+    except Exception as e:  # noqa: BLE001
+        _fail("ba", e)
+    try:
+        e2e_fps = bench_e2e(L, R)
+    except Exception as e:  # noqa: BLE001
+        _fail("e2e", e)
     vs = fps / ref_fps if ref_fps > 0 else float("nan")
     print(json.dumps({
         "metric": "frontend_fps_kitti_stereo_376x1241",

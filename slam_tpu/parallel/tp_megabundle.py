@@ -152,6 +152,14 @@ def optimize_megabundle(
         engine = ba.default_engine()
     mm_passes = {"onehot_bf16": 1, "onehot_b3": 3}.get(engine, 0)
     n_dev, L_loc = points_sh.shape[0], points_sh.shape[1]
+    if mesh.shape[axis] != n_dev:
+        # shard_map with a mismatched axis would silently treat the
+        # pre-sharded device dim as data (shard 0 only) and return a
+        # wrong-shaped X — fail loud instead.
+        raise ValueError(
+            f"mesh axis {axis!r} has {mesh.shape[axis]} devices but the "
+            f"problem was partitioned for {n_dev} "
+            f"(partition_megabundle(n_dev=...) must match the mesh)")
     P_ = np.asarray(poses0).shape[0]
     calib_j = jnp.asarray(calib, jnp.float32)
 

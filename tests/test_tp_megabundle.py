@@ -123,3 +123,20 @@ def test_tp_converges_toward_ground_truth():
                                                jnp.asarray(tp_poses)[p])))
                for p in range(poses0.shape[0]))
     assert err1 < 0.1 * err0, (err0, err1)
+
+
+def test_mesh_axis_mismatch_fails_loud():
+    """A mesh whose tp axis is narrower than the host partitioning must
+    raise, not silently solve shard 0 only (the shard_map would treat the
+    pre-sharded device dim as data). Regression for the dryrun harness
+    calling optimize_megabundle on a truncated mesh."""
+    key = jax.random.PRNGKey(3)
+    _, _, poses0, points0, ci, li, meas, w = make_megaproblem(key, L=64)
+    mesh = mesh_lib.make_mesh(4, axis="tp")
+    parts = partition_megabundle(points0, ci, li, meas, w, 8)
+    try:
+        optimize_megabundle(mesh, poses0, *parts, CALIB, iters=1)
+    except ValueError as e:
+        assert "partitioned for 8" in str(e)
+    else:
+        raise AssertionError("mismatched mesh axis did not raise")
