@@ -152,6 +152,9 @@ def optimize_megabundle(
         engine = ba.default_engine()
     mm_passes = {"onehot_bf16": 1, "onehot_b3": 3}.get(engine, 0)
     n_dev, L_loc = points_sh.shape[0], points_sh.shape[1]
+    if axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no axis {axis!r} (available: {list(mesh.shape)})")
     if mesh.shape[axis] != n_dev:
         # shard_map with a mismatched axis would silently treat the
         # pre-sharded device dim as data (shard 0 only) and return a
