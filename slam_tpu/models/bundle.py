@@ -107,6 +107,8 @@ class BundleBatch:
     frames: np.ndarray      # (B, P) global frame id per pose row (-1 pad)
     track_of_lm: np.ndarray  # (B, L) global track id per landmark row (-1 pad)
     keyframes: list[int]
+    obs_dropped: int = 0    # observations cut by max_obs capacity (all windows)
+    obs_total: int = 0      # observations offered before the capacity cut
 
     @property
     def num_windows(self) -> int:
@@ -170,6 +172,7 @@ def build_windows(
             np.int64)
 
     total_obs_dropped = 0
+    total_obs_offered = 0
     for bi in range(B):
         k0, k1 = keyframes[bi], keyframes[bi + 1]
         if k1 - k0 > P - 1:
@@ -204,6 +207,7 @@ def build_windows(
 
         keep = np.isin(trs, good)
         trs, frs, slots = trs[keep], frs[keep], slots[keep]
+        total_obs_offered += len(trs)
         if len(trs) > M:
             # capacity overflow: keep the observations of the longest
             # in-window tracks (they constrain the window pose best), never
@@ -279,6 +283,8 @@ def build_windows(
         frames=frames_arr,
         track_of_lm=track_of_lm,
         keyframes=list(keyframes),
+        obs_dropped=int(total_obs_dropped),
+        obs_total=int(total_obs_offered),
     )
 
 
@@ -336,6 +342,8 @@ class BundleResult:
     cam_idx: np.ndarray | None = None   # (B, M)
     lm_idx: np.ndarray | None = None    # (B, M)
     points0: np.ndarray | None = None   # (B, L, 3) initial landmarks
+    obs_dropped: int = 0  # capacity-cut observations (build_windows)
+    obs_total: int = 0    # observations offered before the capacity cut
 
 
 def optimize_windows(
@@ -472,6 +480,7 @@ def _assemble_bundle_result(batch, poses, points, w, cost, cost0, rel_T,
         frames=batch.frames, track_of_lm=batch.track_of_lm,
         meas=batch.meas, cam_idx=batch.cam_idx, lm_idx=batch.lm_idx,
         points0=batch.points0.copy(),
+        obs_dropped=batch.obs_dropped, obs_total=batch.obs_total,
     )
 
 
@@ -487,6 +496,8 @@ def save_bundles(res: BundleResult, path) -> None:
         keyframes=np.asarray(res.keyframes),
         n_poses=res.n_poses, frames=res.frames,
         track_of_lm=res.track_of_lm,
+        obs_dropped=np.int64(res.obs_dropped),
+        obs_total=np.int64(res.obs_total),
         **{k: getattr(res, k) for k in ("meas", "cam_idx", "lm_idx", "points0")
            if getattr(res, k) is not None},
     )
@@ -503,7 +514,10 @@ def load_bundles(path) -> BundleResult:
         T_w2c_keyframes=z["T_w2c_keyframes"],
         keyframes=[int(k) for k in z["keyframes"]],
         n_poses=z["n_poses"], frames=z["frames"],
-        track_of_lm=z["track_of_lm"], **opt,
+        track_of_lm=z["track_of_lm"],
+        obs_dropped=int(z["obs_dropped"]) if "obs_dropped" in z.files else 0,
+        obs_total=int(z["obs_total"]) if "obs_total" in z.files else 0,
+        **opt,
     )
 
 

@@ -292,6 +292,14 @@ def evaluate(result: PipelineResult, T_gt: np.ndarray) -> dict:
         "num_pose_failures": result.frontend.num_pose_failures,
         "timings_s": result.timings,
         "db_stats": result.db.stats(),
+        # capacity accounting: observations build_windows had to cut to fit
+        # max_obs (the reference keeps every factor, bundle.py:129-169 —
+        # this records the static-shape price at scale)
+        "bundle_obs_dropped": int(result.bundles.obs_dropped),
+        "bundle_obs_total": int(result.bundles.obs_total),
+        "bundle_obs_drop_rate": (
+            float(result.bundles.obs_dropped / result.bundles.obs_total)
+            if result.bundles.obs_total else 0.0),
     }
     if result.closures:
         out["pose_graph_lc_kf"] = metrics.trajectory_summary(
