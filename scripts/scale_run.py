@@ -50,6 +50,11 @@ def main() -> int:
                     help="force the CPU backend (shakedown runs)")
     ap.add_argument("--detector", choices=["harris", "akaze", "orb"],
                     default="harris")
+    ap.add_argument("--texture", choices=["blobs", "fractal"],
+                    default="blobs",
+                    help="scene texture: 'fractal' = natural-image-"
+                         "statistics albedo + exposure drift + sensor "
+                         "noise (utils/synthetic.py)")
     ap.add_argument("--octaves", type=int, default=None,
                     help="pyramid/scale-space octaves (FeatureConfig."
                          "num_levels; reference AKAZE uses 4)")
@@ -129,7 +134,7 @@ def main() -> int:
             jax.random.PRNGKey(0), num_frames=args.frames,
             num_landmarks=args.landmarks, trajectory="clover",
             hw=tuple(args.hw), clover_radii=tuple(args.radii),
-            corridor_halfwidth=args.corridor,
+            corridor_halfwidth=args.corridor, texture=args.texture,
         )
         scene = synthetic.host_scene(scene)
         np.save(f_gt, np.asarray(scene.T_w2c))
@@ -291,6 +296,22 @@ def main() -> int:
         "inlier_frac_median": float(np.median(wobs)),
     }
     log(f"ransac budget accounting: {json.dumps(report['ransac_budget'])}")
+    # timestamp + per-pass history: the preserved report.json names WHICH
+    # pass it is, and report_history.jsonl keeps every completed pass, so a
+    # later slow-tunnel pass can never silently shadow (or contradict) the
+    # quoted record run (VERDICT r4 weak #1)
+    report["timestamp_utc"] = time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with (out / "report_history.jsonl").open("a") as fh:
+        fh.write(json.dumps({
+            "ts": report["timestamp_utc"],
+            "timings_s": timings,
+            "forced_from": args.force,
+            "ate": {k: report[k]["ate_rmse_m"] for k in
+                    ("frontend", "bundles_kf", "pose_graph_kf",
+                     "pose_graph_lc_kf") if k in report},
+            "num_closures": report.get("num_closures"),
+        }, default=float) + "\n")
     pipeline_mod.save_report(out / "report.json", report)
     log("report written: " + json.dumps(
         {k: report[k] for k in ("num_closures", "num_keyframes",

@@ -39,6 +39,15 @@ class Scene:
     descriptors for every landmark, so matching would be random; a unique
     satellite constellation per landmark is view-consistent texture that
     descriptors can discriminate.
+
+    ``texture="fractal"`` additionally fills the corridor with a dense 3D
+    point field whose intensities follow a multi-octave value-noise
+    (fractal/Perlin-class) albedo and whose splat sizes follow a power law
+    — approximating natural-image 1/f statistics so scale-space detectors
+    (DoG/AKAZE) have real extrema at every octave instead of the
+    corner-only structure of the blob scene (VERDICT r4 missing #1). The
+    photometric model then applies per-frame exposure drift and sensor
+    noise (deterministic in the frame index).
     """
 
     landmarks: jnp.ndarray   # (M, 3) world points (the GT geometry)
@@ -48,6 +57,11 @@ class Scene:
     hw: tuple[int, int]
     render_points: jnp.ndarray | None = None   # (M*S, 3) textured cluster
     render_intens: jnp.ndarray | None = None   # (M*S,)
+    texture: str = "blobs"                     # "blobs" | "fractal"
+    tex_points: np.ndarray | None = None       # (T, 3) fractal texture field
+    tex_intens: np.ndarray | None = None       # (T,) fractal albedo
+    tex_sigma: np.ndarray | None = None        # (T,) splat sigma @ 20 m [px]
+    photometric: bool = False                  # exposure drift + sensor noise
 
 
 def straight_trajectory(num_frames: int, step_m: float = 1.0) -> jnp.ndarray:
@@ -132,6 +146,53 @@ def clover_trajectory(
     return jnp.asarray(T, jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# fractal (natural-image-statistics) texture field
+# ---------------------------------------------------------------------------
+
+def _hash3(ix: np.ndarray, iy: np.ndarray, iz: np.ndarray,
+           seed: int) -> np.ndarray:
+    """Integer-mix hash of 3D lattice coords -> uniform [0, 1) float64."""
+    h = (ix.astype(np.int64) * 374761393
+         + iy.astype(np.int64) * 668265263
+         + iz.astype(np.int64) * 1013904223
+         + np.int64(seed) * 974711) & 0x7FFFFFFF
+    h = ((h ^ (h >> 13)) * 1274126177) & 0x7FFFFFFF
+    h = h ^ (h >> 16)
+    return (h & 0xFFFFFF).astype(np.float64) / float(0x1000000)
+
+
+def _value_noise3(pts: np.ndarray, scale: float, seed: int) -> np.ndarray:
+    """Trilinear value noise at world points (smoothstep-blended lattice)."""
+    p = pts / scale
+    i = np.floor(p).astype(np.int64)
+    f = p - i
+    u = f * f * (3.0 - 2.0 * f)
+    out = np.zeros(len(pts), np.float64)
+    for dx in (0, 1):
+        wx = u[:, 0] if dx else 1.0 - u[:, 0]
+        for dy in (0, 1):
+            wy = u[:, 1] if dy else 1.0 - u[:, 1]
+            for dz in (0, 1):
+                wz = u[:, 2] if dz else 1.0 - u[:, 2]
+                c = _hash3(i[:, 0] + dx, i[:, 1] + dy, i[:, 2] + dz, seed)
+                out += c * (wx * wy * wz)
+    return out
+
+
+def fractal_albedo(pts: np.ndarray, octaves: int = 5, base_scale: float = 8.0,
+                   persistence: float = 0.55, seed: int = 0) -> np.ndarray:
+    """Multi-octave fractal value noise in [0, 1] at 3D world points — the
+    albedo of the textured scene (Perlin-class 1/f statistics)."""
+    amp, tot = 1.0, 0.0
+    out = np.zeros(len(pts), np.float64)
+    for o in range(octaves):
+        out += amp * _value_noise3(pts, base_scale / (2.0 ** o), seed + o)
+        tot += amp
+        amp *= persistence
+    return (out / tot).astype(np.float32)
+
+
 def make_scene(
     key: jax.Array,
     num_frames: int = 50,
@@ -144,6 +205,8 @@ def make_scene(
     loop_radius: float = 25.0,
     loop_turns: float = 1.0,
     clover_radii=(100.0, 130.0, 160.0, 145.0),
+    texture: str = "blobs",
+    num_texture_points: int | None = None,
 ) -> Scene:
     # Scene generation is data preparation, not accelerator work: pin it to
     # the host CPU backend. On the remote TPU every tiny jax.random op pays
@@ -159,6 +222,7 @@ def make_scene(
                 jax.device_put(key, cpu), num_frames, num_landmarks,
                 trajectory, hw, calib, step_m, corridor_halfwidth,
                 loop_radius, loop_turns, clover_radii,
+                texture, num_texture_points,
             )
     if calib is None:
         # scale KITTI intrinsics to the requested resolution
@@ -240,8 +304,78 @@ def make_scene(
     render_intens = jnp.concatenate(
         [intens[:, None], sat_int], axis=1
     ).reshape(-1)
+
+    tex_points = tex_intens = tex_sigma = None
+    if texture == "fractal":
+        # Dense 3D texture field with natural-image statistics: positions
+        # sampled in the SAME corridor volume as the landmarks (so every
+        # view is textured), intensities from a multi-octave fractal
+        # albedo (signed contrast about the mid-gray background), splat
+        # sizes from a power law (p(s) ~ s^-2.5) so scale-space extrema
+        # exist at every octave. All texture is world-anchored 3D points:
+        # stereo/temporal appearance is geometrically consistent by
+        # construction.
+        try:
+            kd = np.asarray(jax.random.key_data(key))
+        except Exception:
+            kd = np.asarray(key)
+        seed = int(kd.ravel()[-1]) & 0x7FFFFFFF
+        rng = np.random.default_rng(seed ^ 0x5EED7E)
+        # default density: 40 field points per landmark, capped so
+        # reference-scale scenes (100k landmarks) stay renderable in
+        # minutes (~45k visible points/frame at the cap)
+        nt = (num_texture_points if num_texture_points is not None
+              else min(40 * num_landmarks, 1_500_000))
+        if trajectory == "straight":
+            length = num_frames * step_m
+            pts = np.stack([
+                rng.uniform(-corridor_halfwidth, corridor_halfwidth, nt),
+                rng.uniform(-5.0, 5.0, nt),
+                rng.uniform(-10.0, length + 60.0, nt)], axis=-1)
+        elif trajectory == "loop":
+            ang = rng.uniform(0, 2 * np.pi, nt)
+            half = 0.6 * loop_radius
+            rad = loop_radius + rng.uniform(-half, half, nt)
+            pts = np.stack([
+                loop_radius - rad * np.cos(ang),
+                rng.uniform(-5.0, 5.0, nt),
+                rad * np.sin(ang)], axis=-1)
+        elif trajectory == "clover":
+            radii_np2 = np.asarray(clover_radii, np.float64)
+            frac2 = radii_np2 / radii_np2.sum()
+            cnts = np.maximum((frac2 * nt).astype(np.int64), 1)
+            cnts[-1] = nt - cnts[:-1].sum()
+            parts2 = []
+            for R_, n_ in zip(radii_np2, cnts):
+                ang = rng.uniform(0, 2 * np.pi, int(n_))
+                rad = R_ + rng.uniform(-corridor_halfwidth,
+                                       corridor_halfwidth, int(n_))
+                parts2.append(np.stack([
+                    R_ - rad * np.cos(ang),
+                    rng.uniform(-5.0, 5.0, int(n_)),
+                    rad * np.sin(ang)], axis=-1))
+            pts = np.concatenate(parts2, axis=0)
+        else:  # pragma: no cover — trajectory already validated above
+            raise ValueError(trajectory)
+        a = fractal_albedo(pts, octaves=5, base_scale=9.0, seed=seed & 0xFFFF)
+        tex_points = pts.astype(np.float32)
+        tex_intens = (1.15 * (a - float(a.mean()))).astype(np.float32)
+        # inverse-CDF power law on [s_min, s_max], exponent 2.5
+        s_min, s_max, alpha = 0.7, 6.0, 2.5
+        u = rng.uniform(0, 1, nt)
+        one_a = 1.0 - alpha
+        tex_sigma = (
+            (s_min ** one_a + u * (s_max ** one_a - s_min ** one_a))
+            ** (1.0 / one_a)
+        ).astype(np.float32)
+    elif texture != "blobs":
+        raise ValueError(f"unknown texture {texture!r}")
+
     return Scene(landmarks, intens, T_w2c, calib, hw,
-                 render_points=render_points, render_intens=render_intens)
+                 render_points=render_points, render_intens=render_intens,
+                 texture=texture, tex_points=tex_points,
+                 tex_intens=tex_intens, tex_sigma=tex_sigma,
+                 photometric=(texture == "fractal"))
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +433,11 @@ def _splat(hw, us, vs, weights, radius: int = 2, sigma: float = 1.0):
 
 def render_frame(scene: Scene, frame: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Render the (left, right) grayscale pair for one frame, in [0, 1]."""
+    if scene.texture == "fractal":
+        # the fractal texture field renders on host (octave-bucketed
+        # numpy splatting, render_frame_np); lift the result to jnp
+        l, r = render_frame_np(host_scene(scene), int(frame))
+        return jnp.asarray(l), jnp.asarray(r)
     if scene.render_points is not None:
         pts = scene.render_points
         intens = scene.render_intens
@@ -346,14 +485,18 @@ def host_scene(scene: Scene) -> Scene:
         T_w2c=cv(scene.T_w2c), calib=cv(scene.calib), hw=scene.hw,
         render_points=cv(scene.render_points),
         render_intens=cv(scene.render_intens),
+        texture=scene.texture, tex_points=cv(scene.tex_points),
+        tex_intens=cv(scene.tex_intens), tex_sigma=cv(scene.tex_sigma),
+        photometric=scene.photometric,
     )
 
 
-def _splat_np(hw, us, vs, weights, radius: int = 2, sigma: float = 1.0):
+def _splat_np(hw, us, vs, weights, radius: int = 2, sigma=1.0):
     """Host (numpy) twin of _splat: the (2r+1)^2 stamped Gaussian scatter
     as bincount accumulation — ~50x faster than eager per-op dispatch and
     independent of any accelerator, which matters for rendering
-    reference-scale (3360-frame) sequences."""
+    reference-scale (3360-frame) sequences. ``sigma`` may be a scalar or a
+    per-point array (the fractal texture field splats variable sizes)."""
     H, W = hw
     us = us.astype(np.float32)
     vs = vs.astype(np.float32)
@@ -362,7 +505,7 @@ def _splat_np(hw, us, vs, weights, radius: int = 2, sigma: float = 1.0):
     fu = us - ui
     fv = vs - vi
     img = np.zeros(H * W, np.float64)
-    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    inv2s2 = 1.0 / (2.0 * np.asarray(sigma, np.float32) ** 2)
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
             w = weights * np.exp(-((dx - fu) ** 2 + (dy - fv) ** 2) * inv2s2)
@@ -377,14 +520,80 @@ def _splat_np(hw, us, vs, weights, radius: int = 2, sigma: float = 1.0):
     return img.reshape(H, W).astype(np.float32)
 
 
-def render_frame_np(scene: Scene, frame: int) -> tuple[np.ndarray, np.ndarray]:
-    """Host twin of render_frame (identical scene model, numpy math)."""
-    if scene.render_points is not None:
-        pts = np.asarray(scene.render_points)
-        intens = np.asarray(scene.render_intens)
-    else:
-        pts = np.asarray(scene.landmarks)
-        intens = np.asarray(scene.intensities)
+def _upsample_bilinear_np(img: np.ndarray, s: int, out_hw) -> np.ndarray:
+    """Bilinear x-s upsample with the cv2 pixel-center convention
+    (dst(x) <- src((x+0.5)/s - 0.5)); pure numpy, no cv2 dependency."""
+    if s == 1:
+        return img[: out_hw[0], : out_hw[1]]
+    Hs, Ws = img.shape
+    H, W = out_hw
+    ys = (np.arange(H, dtype=np.float32) + 0.5) / s - 0.5
+    xs = (np.arange(W, dtype=np.float32) + 0.5) / s - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, Hs - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, Ws - 1)
+    y1 = np.minimum(y0 + 1, Hs - 1)
+    x1 = np.minimum(x0 + 1, Ws - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = img[np.ix_(y0, x0)]
+    b = img[np.ix_(y0, x1)]
+    c = img[np.ix_(y1, x0)]
+    d = img[np.ix_(y1, x1)]
+    return ((a * (1 - fx) + b * fx) * (1 - fy)
+            + (c * (1 - fx) + d * fx) * fy).astype(np.float32)
+
+
+def _splat_np_multiscale(hw, us, vs, weights, sigmas) -> np.ndarray:
+    """Variable-size Gaussian splatting via mip octaves: points are
+    bucketed by splat sigma; octave o renders sigma in ~[0.75*2^o,
+    1.5*2^o) at 1/2^o resolution with an effective sigma in [0.75, 1.5)
+    and a small stamp radius, then upsamples bilinearly. O(points * 7^2)
+    regardless of blob size (a direct stamp of a sigma-6 blob would cost
+    a 31^2 loop). The constant sub-pixel offset of the upsampling is
+    shared by both eyes and all frames, so stereo disparity and temporal
+    motion of the rendered texture stay geometrically exact."""
+    H, W = hw
+    sigmas = np.asarray(sigmas, np.float32)
+    oct_idx = np.clip(
+        np.floor(np.log2(np.maximum(sigmas, 1e-3) / 0.75)).astype(np.int64),
+        0, 3)
+    img = np.zeros((H, W), np.float32)
+    for o in range(4):
+        m = oct_idx == o
+        if not m.any():
+            continue
+        s = 1 << o
+        Ho, Wo = (H + s - 1) // s, (W + s - 1) // s
+        # fine coord u maps to coarse (u + 0.5)/s - 0.5 (pixel centers)
+        sub = _splat_np(
+            (Ho, Wo),
+            (us[m] + 0.5) / s - 0.5,
+            (vs[m] + 0.5) / s - 0.5,
+            weights[m],
+            radius=3,
+            sigma=np.clip(sigmas[m] / s, 0.5, 1.6),
+        )
+        img += _upsample_bilinear_np(sub, s, (H, W))
+    return img
+
+
+def _photometric_np(img: np.ndarray, frame: int, eye: int) -> np.ndarray:
+    """Per-frame exposure drift + sensor noise, deterministic in the frame
+    index. Gain/bias are shared by the stereo pair (one exposure per rig
+    trigger, like KITTI); the Gaussian read noise is per-eye independent."""
+    rs = np.random.default_rng(910_001 + 7 * frame)
+    gain = (1.0 + 0.10 * np.sin(2 * np.pi * frame / 700.0)
+            + 0.03 * rs.standard_normal())
+    bias = (0.02 * np.sin(2 * np.pi * frame / 430.0)
+            + 0.01 * rs.standard_normal())
+    nrng = np.random.default_rng(7717 * (frame + 1) + eye)
+    out = gain * img + bias + 0.012 * nrng.standard_normal(
+        img.shape).astype(np.float32)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+def _project_np(scene: Scene, pts: np.ndarray, frame: int):
+    """(uL, uR, v, z, vis) of world points in the given frame (host math)."""
     T = np.asarray(scene.T_w2c[frame])
     fx, fy, cx, cy, base = np.asarray(scene.calib)
     pc = pts @ T[:3, :3].T + T[:3, 3]
@@ -398,8 +607,47 @@ def render_frame_np(scene: Scene, frame: int) -> tuple[np.ndarray, np.ndarray]:
         (z > 1.0) & (z < 200.0)
         & (uL >= 0) & (uL < W) & (uR >= 0) & (uR < W) & (v >= 0) & (v < H)
     )
+    return uL, uR, v, z, vis
+
+
+def render_frame_np(scene: Scene, frame: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host twin of render_frame (identical scene model, numpy math)."""
+    if scene.render_points is not None:
+        pts = np.asarray(scene.render_points)
+        intens = np.asarray(scene.render_intens)
+    else:
+        pts = np.asarray(scene.landmarks)
+        intens = np.asarray(scene.intensities)
+    H, W = scene.hw
+    uL, uR, v, z, vis = _project_np(scene, pts, frame)
     w = intens * np.clip(20.0 / np.maximum(z, 1.0), 0.5, 2.0)
     uL, uR, v, w = uL[vis], uR[vis], v[vis], w[vis]
+
+    if scene.texture == "fractal":
+        # textured mode: mid-gray base + fractal texture field (signed
+        # contrast, variable splat scale, projected splat size ~ 1/z) +
+        # the landmark constellations at reduced amplitude
+        tuL, tuR, tv, tz, tvis = _project_np(
+            scene, np.asarray(scene.tex_points), frame)
+        ti = np.asarray(scene.tex_intens)[tvis]
+        # apparent size falls off with depth (a world blob of fixed size);
+        # reference depth 20 m, clamped so far texture stays sub-pixel
+        ts = np.asarray(scene.tex_sigma)[tvis] * np.clip(
+            20.0 / np.maximum(tz[tvis], 1.0), 0.12, 2.5)
+        tw = ti * np.clip(20.0 / np.maximum(tz[tvis], 1.0), 0.4, 1.6)
+        left = _splat_np_multiscale(scene.hw, tuL[tvis], tv[tvis], tw, ts)
+        right = _splat_np_multiscale(scene.hw, tuR[tvis], tv[tvis], tw, ts)
+        left += _splat_np(scene.hw, uL, v, 0.5 * w)
+        right += _splat_np(scene.hw, uR, v, 0.5 * w)
+        yy = np.linspace(0, 4 * np.pi, H, dtype=np.float32)[:, None]
+        bg = 0.38 + 0.03 * np.sin(yy) * np.ones((1, W), np.float32)
+        left = np.clip(left + bg, 0.0, 1.0).astype(np.float32)
+        right = np.clip(right + bg, 0.0, 1.0).astype(np.float32)
+        if scene.photometric:
+            left = _photometric_np(left, frame, eye=0)
+            right = _photometric_np(right, frame, eye=1)
+        return left, right
+
     left = _splat_np(scene.hw, uL, v, w)
     right = _splat_np(scene.hw, uR, v, w)
     yy = np.linspace(0, 4 * np.pi, H, dtype=np.float32)[:, None]
