@@ -35,6 +35,11 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--variants", nargs="+", default=None,
                     help="run only these variants (default: all)")
+    ap.add_argument("--texture", choices=["blobs", "fractal"],
+                    default="blobs",
+                    help="'fractal' = natural-image-statistics scene "
+                         "(de-confounds the detector ranking, VERDICT r4 "
+                         "missing #1)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -56,6 +61,7 @@ def main() -> int:
         clover_radii=(args.frames / (4 * np.pi) * 0.9,
                       args.frames / (4 * np.pi) * 1.1),
         corridor_halfwidth=15.0,
+        texture=args.texture,
     )
     scene = synthetic.host_scene(scene)
     L, R = synthetic.render_sequence(scene)
@@ -69,6 +75,13 @@ def main() -> int:
         "harris2": SlamConfig(features=FeatureConfig(num_levels=2)),
         "akaze": SlamConfig(
             features=FeatureConfig(detector="akaze", num_levels=2)),
+        # reference AKAZE octave count (matching.py:19-24)
+        "akaze4": SlamConfig(
+            features=FeatureConfig(detector="akaze", num_levels=4)),
+        # DoG scale-space extrema (ops/sift.py) — the reference's ACTIVE
+        # detector family (matching.py:27-35,72)
+        "sift": SlamConfig(
+            features=FeatureConfig(detector="sift", num_levels=3)),
         # NORM_HAMMING mode (reference matching.py:21): binarized
         # descriptors matched by exact MXU popcount (ops/binary.py)
         "hamming": SlamConfig(matching=MatchConfig(norm="hamming")),

@@ -48,7 +48,7 @@ def main() -> int:
     ap.add_argument("--hw", type=int, nargs=2, default=[376, 1241])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (shakedown runs)")
-    ap.add_argument("--detector", choices=["harris", "akaze", "orb"],
+    ap.add_argument("--detector", choices=["harris", "akaze", "orb", "sift"],
                     default="harris")
     ap.add_argument("--texture", choices=["blobs", "fractal"],
                     default="blobs",

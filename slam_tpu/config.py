@@ -24,10 +24,13 @@ class FeatureConfig:
     min_response: float = 1e-7  # Harris response floor
     num_levels: int = 1         # pyramid octaves (ref AKAZE: 4 octaves)
     # "harris" | "akaze" (nonlinear scale space) | "orb" (FAST-9 + steered
-    # BRIEF bits; pairs naturally with matching.norm="hamming")
+    # BRIEF bits; pairs naturally with matching.norm="hamming") | "sift"
+    # (DoG scale-space extrema — the reference's active detector family,
+    # matching.py:27-35,72)
     detector: str = "harris"
     akaze_threshold: float = 8e-4  # ref matching.py:20
     fast_threshold: float = 0.06   # FAST ring contrast gate, unit-scale images
+    sift_contrast: float = 0.015   # DoG contrast gate, unit-scale images
 
 
 @dataclass(frozen=True)

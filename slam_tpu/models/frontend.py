@@ -219,6 +219,17 @@ def _detect_describe(imgs: jnp.ndarray, cfg: SlamConfig):
             imgs, max_kp=K, octaves=max(levels, 2),
             threshold=cfg.features.akaze_threshold,
         ), cfg)
+    if cfg.features.detector == "sift":
+        from ..ops import sift
+
+        # the reference's ACTIVE detector family (matching.py:27-35,72):
+        # DoG scale-space extrema with per-keypoint scale. num_levels
+        # counts octaves above full resolution; +1 is the cv2-style
+        # x2-upsampled '-1' octave.
+        return _maybe_binarize(sift.detect_and_describe_sift_batch(
+            imgs, max_kp=K, octaves=max(levels, 3) + 1,
+            contrast=cfg.features.sift_contrast,
+        ), cfg)
     if cfg.features.detector == "orb":
         from ..ops import orb
 
@@ -474,10 +485,20 @@ def _frontend_fingerprint(cfg: SlamConfig) -> str:
     import hashlib
     import json
 
-    sub = {
-        k: dataclasses.asdict(getattr(cfg, k))
-        for k in ("features", "matching", "ransac")
-    }
+    def nondefault(obj):
+        # hash only fields that differ from the dataclass defaults: adding
+        # a new config knob (with its default) must not invalidate every
+        # existing checkpoint — the results it fingerprints are unchanged
+        out = {}
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            if f.default is not dataclasses.MISSING and v == f.default:
+                continue
+            out[f.name] = v
+        return out
+
+    sub = {k: nondefault(getattr(cfg, k))
+           for k in ("features", "matching", "ransac")}
     sub["seed"] = cfg.seed
     # chunking determines the position-based RANSAC key stream
     # (fold_in(seed, start // chunk)) and the chunk boundaries, so a
