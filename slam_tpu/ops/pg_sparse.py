@@ -447,7 +447,10 @@ def _optimize_impl(nodes, Z_chain, si_chain, loop_i, loop_j, Z_loop,
         nodes, lam, cost = carry
         new_nodes = build_and_solve(nodes, lam)
         new_cost = cost_of(new_nodes)
-        ok = jnp.isfinite(new_cost) & (new_cost < cost)
+        # relative accept margin — same rationale as ops/pose_graph.py
+        # step(): sub-0.1% 'improvements' are f32 cost noise near the
+        # optimum; accepting them random-walks the nodes
+        ok = jnp.isfinite(new_cost) & (new_cost < cost * (1.0 - 1e-3))
         nodes = jnp.where(ok, new_nodes, nodes)
         lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9),
                         jnp.minimum(lam * 5.0, 1e4))
