@@ -326,20 +326,37 @@ def make_scene(
         # minutes (~45k visible points/frame at the cap)
         nt = (num_texture_points if num_texture_points is not None
               else min(40 * num_landmarks, 1_500_000))
+        # Texture lives on SURFACES (ground + two corridor walls), not in
+        # a volume: a volumetric splat cloud is semi-transparent, so a
+        # descriptor patch mixes splats at different depths whose
+        # parallax differs between the eyes — the patch decorrelates and
+        # stereo mutual-NN collapses (measured: 28-44/2048 stereo matches
+        # at KITTI res with volume texture). Opaque-world surfaces keep
+        # patch depth locally coherent, like real imagery.
+        def surface(lat, nn, hw_):
+            """(lateral, vertical) coords for nn points on ground/walls."""
+            s = rng.uniform(0, 1, nn)
+            ground = s < 0.5
+            wall_r = s >= 0.75
+            lat_out = np.where(
+                ground, rng.uniform(-hw_, hw_, nn),
+                np.where(wall_r, hw_, -hw_) + rng.normal(0, 0.4, nn))
+            y = np.where(ground, 1.75 + rng.normal(0, 0.12, nn),
+                         rng.uniform(-4.0, 1.8, nn))
+            return lat_out, y
+
         if trajectory == "straight":
-            length = num_frames * step_m
+            lat, y = surface(None, nt, corridor_halfwidth)
             pts = np.stack([
-                rng.uniform(-corridor_halfwidth, corridor_halfwidth, nt),
-                rng.uniform(-5.0, 5.0, nt),
-                rng.uniform(-10.0, length + 60.0, nt)], axis=-1)
+                lat, y, rng.uniform(-10.0, num_frames * step_m + 60.0, nt)],
+                axis=-1)
         elif trajectory == "loop":
             ang = rng.uniform(0, 2 * np.pi, nt)
-            half = 0.6 * loop_radius
-            rad = loop_radius + rng.uniform(-half, half, nt)
+            lat, y = surface(None, nt, 0.6 * loop_radius)
+            rad = loop_radius + lat
             pts = np.stack([
-                loop_radius - rad * np.cos(ang),
-                rng.uniform(-5.0, 5.0, nt),
-                rad * np.sin(ang)], axis=-1)
+                loop_radius - rad * np.cos(ang), y, rad * np.sin(ang)],
+                axis=-1)
         elif trajectory == "clover":
             radii_np2 = np.asarray(clover_radii, np.float64)
             frac2 = radii_np2 / radii_np2.sum()
@@ -347,19 +364,46 @@ def make_scene(
             cnts[-1] = nt - cnts[:-1].sum()
             parts2 = []
             for R_, n_ in zip(radii_np2, cnts):
-                ang = rng.uniform(0, 2 * np.pi, int(n_))
-                rad = R_ + rng.uniform(-corridor_halfwidth,
-                                       corridor_halfwidth, int(n_))
+                n_ = int(n_)
+                ang = rng.uniform(0, 2 * np.pi, n_)
+                lat, y = surface(None, n_, corridor_halfwidth)
+                rad = R_ + lat
                 parts2.append(np.stack([
-                    R_ - rad * np.cos(ang),
-                    rng.uniform(-5.0, 5.0, int(n_)),
-                    rad * np.sin(ang)], axis=-1))
+                    R_ - rad * np.cos(ang), y, rad * np.sin(ang)], axis=-1))
             pts = np.concatenate(parts2, axis=0)
         else:  # pragma: no cover — trajectory already validated above
             raise ValueError(trajectory)
+        # clear tube around the camera path (the 'road': real driving
+        # scenes keep the lane free of texture; without it the camera
+        # sits inside the splat cloud and near-field blobs at z~1-3 m
+        # dominate every frame with huge, fast-moving shapes)
+        centers = np.asarray(
+            jax.vmap(lambda M: -M[:3, :3].T @ M[:3, 3])(T_w2c))
+        sub = centers[:: max(1, len(centers) // 300)][:, [0, 2]]
+        pxz = pts[:, [0, 2]]
+        d2 = np.full(len(pts), np.inf)
+        for c0 in np.array_split(sub, max(1, len(sub) // 64)):
+            d2 = np.minimum(
+                d2, ((pxz[:, None, :] - c0[None]) ** 2).sum(-1).min(1))
+        # horizontal-only clearance (the smooth road strip): vertical is
+        # excluded so the textured ground surface 1.75 m below the camera
+        # survives everywhere but the lane itself
+        keep_t = d2 > 2.0 ** 2
+        pts = pts[keep_t]
+        nt = len(pts)
         a = fractal_albedo(pts, octaves=5, base_scale=9.0, seed=seed & 0xFFFF)
         tex_points = pts.astype(np.float32)
-        tex_intens = (1.15 * (a - float(a.mean()))).astype(np.float32)
+        # kurtotic amplitudes: natural-image wavelet coefficients are
+        # heavy-tailed (sparse strong structure over a weak 1/f bed). A
+        # uniform-amplitude dense splat sum is a locally SELF-SIMILAR
+        # Gaussian field — descriptors carry no identity and stereo
+        # mutual-NN collapses (measured: 28/2048 stereo matches at KITTI
+        # res; Pareto amplitudes restore distinctive anchors).
+        pareto = (1.0 + rng.pareto(1.2, nt)).clip(max=25.0).astype(
+            np.float32)
+        pareto /= float(pareto.mean())
+        tex_intens = (1.15 * (a - float(a.mean())) * pareto).astype(
+            np.float32)
         # inverse-CDF power law on [s_min, s_max], exponent 2.5
         s_min, s_max, alpha = 0.7, 6.0, 2.5
         u = rng.uniform(0, 1, nt)
@@ -641,8 +685,20 @@ def render_frame_np(scene: Scene, frame: int) -> tuple[np.ndarray, np.ndarray]:
         right += _splat_np(scene.hw, uR, v, 0.5 * w)
         yy = np.linspace(0, 4 * np.pi, H, dtype=np.float32)[:, None]
         bg = 0.38 + 0.03 * np.sin(yy) * np.ones((1, W), np.float32)
-        left = np.clip(left + bg, 0.0, 1.0).astype(np.float32)
-        right = np.clip(right + bg, 0.0, 1.0).astype(np.float32)
+        left = left + bg
+        right = right + bg
+        # auto-exposure shared by the stereo pair (one AGC per rig
+        # trigger, like a real camera): splat weights ACCUMULATE, so the
+        # pre-clip dynamic range depends on how much texture the scene
+        # geometry packs per pixel — a tight loop saturated ~40% of the
+        # frame to white and every detector collapsed (descbench fractal,
+        # 69-152/200 pose failures). Percentile mapping bounds clipping
+        # to the 5% tails for any texture density.
+        p5, p95 = np.percentile(left, [5.0, 95.0])
+        gain = 0.8 / max(float(p95 - p5), 0.05)
+        bias = 0.45 - gain * 0.5 * float(p5 + p95)
+        left = np.clip(gain * left + bias, 0.0, 1.0).astype(np.float32)
+        right = np.clip(gain * right + bias, 0.0, 1.0).astype(np.float32)
         if scene.photometric:
             left = _photometric_np(left, frame, eye=0)
             right = _photometric_np(right, frame, eye=1)
