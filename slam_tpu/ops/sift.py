@@ -221,11 +221,27 @@ def detect_and_describe_sift_batch(
     intervals: int = INTERVALS,
     contrast: float = 0.015,
     upsample: bool = True,
+    group: int = 4,
 ):
-    """Batched DoG detection over (F, H, W) images (vmapped single-image
-    path; every op inside is already dense/batched-friendly)."""
-    return jax.vmap(
-        lambda im: detect_and_describe_sift(
-            im, max_kp=max_kp, octaves=octaves, intervals=intervals,
-            contrast=contrast, upsample=upsample)
-    )(imgs)
+    """Batched DoG detection over (F, H, W) images.
+
+    The per-image working set is large — the x2-upsampled octave alone
+    holds ~11 full-resolution maps (Gaussians + DoGs + gates), ~200 MB at
+    KITTI size — so a flat vmap over a 64-image frontend chunk exceeds
+    HBM (measured: 33 GB asked of a 15.75 GB chip). ``lax.map`` over
+    ``group``-sized sub-batches keeps the vmapped MXU/VPU parallelism
+    within a group while bounding live memory to one group's pyramids."""
+    single = lambda im: detect_and_describe_sift(  # noqa: E731
+        im, max_kp=max_kp, octaves=octaves, intervals=intervals,
+        contrast=contrast, upsample=upsample)
+    F = imgs.shape[0]
+    g = max(1, min(group, F))
+    if F <= g:
+        return jax.vmap(single)(imgs)
+    Fp = -(-F // g) * g
+    if Fp != F:
+        pad = jnp.zeros((Fp - F,) + imgs.shape[1:], imgs.dtype)
+        imgs = jnp.concatenate([imgs, pad], axis=0)
+    out = jax.lax.map(jax.vmap(single),
+                      imgs.reshape(Fp // g, g, *imgs.shape[1:]))
+    return {k: v.reshape(Fp, *v.shape[2:])[:F] for k, v in out.items()}
