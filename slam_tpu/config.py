@@ -97,6 +97,12 @@ class BundleConfig:
     max_depth: float = 1000.0   # landmark pruning (ref z>1000, bundle.py:184)
     huber_delta_px: float = 0.0  # >0 enables IRLS Huber robust factors
     # (slam_tpu addition; the reference uses pure Gaussian factors)
+    # route windows that overflow (max_landmarks, max_obs) to the
+    # landmark-sharded TP mega-bundle when a mesh is present, solving
+    # them at FULL observation count (parallel/tp_megabundle.py; the
+    # reference's dynamic factor graphs never drop factors,
+    # bundle.py:129-169)
+    tp_overflow: bool = True
 
 
 @dataclass(frozen=True)

@@ -19,7 +19,7 @@ reproduce the GT-driven behavior.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +109,11 @@ class BundleBatch:
     keyframes: list[int]
     obs_dropped: int = 0    # observations cut by max_obs capacity (all windows)
     obs_total: int = 0      # observations offered before the capacity cut
+    # windows that overflowed max_obs/max_landmarks, with their FULL
+    # (uncut) observation sets — the TP mega-bundle re-solve inputs
+    # (run_bundles routes them when a mesh is present). Transient: not
+    # serialized; each entry is a dict(bi, tracks, trs, frs, slots).
+    overflow: list = field(default_factory=list)
 
     @property
     def num_windows(self) -> int:
@@ -173,6 +178,7 @@ def build_windows(
 
     total_obs_dropped = 0
     total_obs_offered = 0
+    overflow_specs: list[dict] = []
     for bi in range(B):
         k0, k1 = keyframes[bi], keyframes[bi + 1]
         if k1 - k0 > P - 1:
@@ -199,6 +205,19 @@ def build_windows(
         slots = slot_f[a:b][sub]
         uniq, counts = np.unique(trs, return_counts=True)
         good = uniq[counts >= 2]
+        n_full_obs = int(counts[counts >= 2].sum())
+        if len(good) > L or n_full_obs > M:
+            # record the window's FULL problem before any capacity cut:
+            # run_bundles re-solves it landmark-sharded over the mesh
+            # (parallel/tp_megabundle.py) when one is available — the
+            # no-drop path the reference gets for free from dynamic
+            # factor graphs (bundle.py:129-169)
+            keep_full = np.isin(trs, good)
+            overflow_specs.append({
+                "bi": bi, "tracks": good.copy(),
+                "trs": trs[keep_full].copy(), "frs": frs[keep_full].copy(),
+                "slots": slots[keep_full].copy(),
+            })
         if len(good) > L:
             # keep the longest tracks (stability)
             c = counts[counts >= 2]
@@ -285,6 +304,7 @@ def build_windows(
         keyframes=list(keyframes),
         obs_dropped=int(total_obs_dropped),
         obs_total=int(total_obs_offered),
+        overflow=overflow_specs,
     )
 
 
@@ -521,6 +541,89 @@ def load_bundles(path) -> BundleResult:
     )
 
 
+def reoptimize_overflow_tp(
+    res: BundleResult,
+    batch: BundleBatch,
+    db: TrackStore,
+    calib,
+    cfg: BundleConfig,
+    mesh,
+) -> BundleResult:
+    """Re-solve capacity-overflowed windows with the landmark-sharded TP
+    mega-bundle (parallel/tp_megabundle.py) at FULL observation count.
+
+    The dense batched path cuts a window to (max_landmarks, max_obs) to
+    keep static shapes; the reference keeps every factor
+    (bundle.py:129-169). When a mesh is present, each overflowed window is
+    re-solved exactly — landmarks and their observations sharded over the
+    devices, one (6P,6P) psum per LM iteration — and its rel_T / rel_cov /
+    window poses replace the truncated solve's. ``res.points`` keeps the
+    truncated solve's landmarks (static capacity; analysis probes only).
+    """
+    from jax.sharding import Mesh
+
+    from ..parallel import tp_megabundle as tp
+
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    tp_mesh = Mesh(np.asarray(mesh.devices).reshape(-1), ("tp",))
+    from ..ops.stereo import backproject_np
+
+    # result arrays may be zero-copy views of device buffers (read-only)
+    for name in ("poses", "rel_T", "rel_cov", "cost", "num_obs"):
+        arr = np.asarray(getattr(res, name))
+        if not arr.flags.writeable:
+            setattr(res, name, arr.copy())
+
+    def _rows_of(values, table):
+        sidx = np.argsort(table, kind="stable")
+        return sidx[np.searchsorted(table, values, sorter=sidx)].astype(
+            np.int64)
+
+    for spec in batch.overflow:
+        bi = spec["bi"]
+        n = int(batch.n_poses[bi])
+        k0 = batch.keyframes[bi]
+        poses0 = batch.poses0[bi, :n]
+        tracks = spec["tracks"]
+        li = _rows_of(spec["trs"], tracks).astype(np.int32)
+        ci = (spec["frs"] - k0).astype(np.int32)
+        links = db.links[spec["frs"], spec["slots"]].astype(np.float32)
+        w = np.full(len(li), 1.0 / cfg.meas_sigma_px, np.float32)
+
+        # landmark init: stereo backprojection at the max-disparity
+        # observation, mapped to window frame (same as init_landmarks)
+        Lf = len(tracks)
+        disp = links[:, 0] - links[:, 1]
+        order = np.lexsort((-np.arange(len(li)), disp, li))
+        last_per = order[np.r_[li[order][1:] != li[order][:-1], True]]
+        pts0 = np.zeros((Lf, 3), np.float32)
+        pc = backproject_np(calib, links[last_per])
+        T = poses0[ci[last_per]]
+        Xw = np.einsum("lji,lj->li", T[:, :3, :3], pc - T[:, :3, 3])
+        pts0[li[last_per]] = Xw.astype(np.float32)
+
+        parts = tp.partition_megabundle(pts0, ci, li, links, w, n_dev)
+        poses, _, cost, _ = tp.optimize_megabundle(
+            tp_mesh, poses0, *parts, calib, iters=cfg.lm_iters)
+        covs = tp.megabundle_pose_covariances(
+            tp_mesh, poses, *parts, calib)
+        poses = np.asarray(poses)
+        res.poses[bi, :n] = poses
+        res.rel_T[bi] = poses[n - 1]
+        res.rel_cov[bi] = covs[n - 1]
+        res.cost[bi] = cost
+        res.num_obs[bi] = len(li)
+
+    # re-chain the global keyframe trajectory through the updated edges
+    B = res.rel_T.shape[0]
+    T_kf = np.zeros((B + 1, 4, 4), np.float32)
+    T_kf[0] = np.eye(4)
+    for i in range(B):
+        T_kf[i + 1] = res.rel_T[i] @ T_kf[i]
+    res.T_w2c_keyframes = T_kf
+    return res
+
+
 def run_bundles(
     db: TrackStore,
     T_w2c: np.ndarray,
@@ -529,11 +632,18 @@ def run_bundles(
     mesh=None,
 ) -> BundleResult:
     """Full backend stage 2 (reference project.py:41-62): keyframes ->
-    windows -> batched LM (window axis mesh-sharded when ``mesh`` given)."""
+    windows -> batched LM (window axis mesh-sharded when ``mesh`` given).
+    Windows too large for the static (max_landmarks, max_obs) capacity are
+    re-solved at full size on the TP mega-bundle path when a mesh is
+    present (cfg.bundle.tp_overflow)."""
     kfs = select_keyframes(db, T_w2c, cfg.keyframes)
     batch = build_windows(db, T_w2c, kfs, cfg.bundle)
     init_landmarks(batch, calib)
-    return optimize_windows(batch, calib, cfg.bundle, mesh=mesh)
+    res = optimize_windows(batch, calib, cfg.bundle, mesh=mesh)
+    if batch.overflow and mesh is not None and cfg.bundle.tp_overflow:
+        res = reoptimize_overflow_tp(res, batch, db, calib, cfg.bundle,
+                                     mesh)
+    return res
 
 
 def frame_poses_from_bundles(res: BundleResult, num_frames: int) -> np.ndarray:

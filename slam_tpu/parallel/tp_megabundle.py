@@ -221,3 +221,65 @@ def optimize_megabundle(
     )
     return (poses, X_out.reshape(n_dev * L_loc, 3), float(cost[0]),
             float(cost0[0]))
+
+
+def megabundle_pose_covariances(
+    mesh: Mesh,
+    poses,
+    points_sh,
+    cam_sh,
+    lm_sh,
+    meas_sh,
+    w_sh,
+    calib,
+    axis: str = "tp",
+):
+    """(P, 6, 6) marginal pose covariances of a converged mega-bundle.
+
+    Mirrors ops/ba.pose_covariances (inverse un-damped Gauss-Newton Schur
+    complement, pose 0 gauge-fixed) with the landmark sum sharded over
+    ``axis``: every device builds its local Schur partials, ONE psum makes
+    the reduced (6P, 6P) system replicated, and each device inverts the
+    same small matrix. Feeds rel_cov for TP-routed overflow windows
+    (models/bundle.py) so the pose graph gets the same noise-model
+    contract as the dense window path."""
+    from jax import shard_map
+
+    mm_passes = 1 if ba.default_engine() in ("onehot_bf16",) else (
+        3 if ba.default_engine() == "onehot_b3" else 0)
+    n_dev, L_loc = points_sh.shape[0], points_sh.shape[1]
+    if axis not in mesh.shape or mesh.shape[axis] != n_dev:
+        raise ValueError(
+            f"mesh axis {axis!r} incompatible with partitioning "
+            f"({dict(mesh.shape)} vs n_dev={n_dev})")
+    P_ = np.asarray(poses).shape[0]
+    calib_j = jnp.asarray(calib, jnp.float32)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+             out_specs=P())
+    @full_precision
+    def run(poses, X_sh, cam, lm, ms, ww):
+        X0 = X_sh[0]
+        cam, lm, ms, ww = cam[0], lm[0], ms[0], ww[0]
+        oc = (cam[:, None] == jnp.arange(P_, dtype=cam.dtype)).astype(
+            jnp.float32)
+        ol = (lm[:, None] == jnp.arange(L_loc, dtype=lm.dtype)).astype(
+            jnp.float32)
+        _, blocks = _local_blocks(poses, X0, cam, lm, ms, ww, calib_j,
+                                  oc, ol, mm_passes)
+        S, _, _, _, _ = _reduced_system(blocks, 0.0, P_, L_loc, axis,
+                                        mm_passes)
+        S = S + 1e-8 * jnp.eye(P_ * 6, dtype=S.dtype)
+        cov = jnp.linalg.inv(S).reshape(P_, 6, P_, 6)
+        diag = jnp.arange(P_)
+        out = cov[diag, :, diag, :]
+        out = 0.5 * (out + jnp.swapaxes(out, -1, -2))
+        mask = jnp.concatenate(
+            [jnp.zeros((1, 6), S.dtype), jnp.ones((P_ - 1, 6), S.dtype)])
+        return out * mask[:, :, None]
+
+    return np.asarray(jax.jit(run)(
+        jnp.asarray(poses, jnp.float32), jnp.asarray(points_sh),
+        jnp.asarray(cam_sh), jnp.asarray(lm_sh), jnp.asarray(meas_sh),
+        jnp.asarray(w_sh)))
