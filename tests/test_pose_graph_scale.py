@@ -29,20 +29,27 @@ def make_stiff_loop_graph(N, misfit_m=0.5, seed=0):
     blocks ~5e3, like real bundle marginals) plus one loop edge whose
     measurement disagrees with the drifted chain by ``misfit_m`` meters."""
     rng = np.random.default_rng(seed)
-    # straight-ish corridor with gentle curvature, ~2 m steps
-    step = np.eye(4, dtype=np.float32)
-    step[:3, 3] = [0.0, 0.0, 2.0]
-    nodes = np.zeros((N, 4, 4), np.float32)
+    # straight-ish corridor with gentle curvature, ~2 m steps.
+    # Pure host numpy f64 on purpose: building the chain with on-device
+    # se3.retract made the graph BACKEND-DEPENDENT — under the remote-TPU
+    # default backend the per-step matmuls run at bf16 MXU precision, the
+    # rotations de-orthonormalize ~1e-3/step, and after 2560 compounding
+    # steps the stiff whitened Hessian is garbage (selected inverse
+    # overflowed to NaN on chip while the same test passed on CPU).
+    nodes = np.zeros((N, 4, 4), np.float64)
     nodes[0] = np.eye(4)
-    Z = np.zeros((N - 1, 4, 4), np.float32)
+    Z = np.zeros((N - 1, 4, 4), np.float64)
+    yaws = 0.002 * rng.standard_normal(N - 1)
     for i in range(N - 1):
-        yaw = 0.002 * rng.standard_normal()
-        d = np.asarray(
-            se3.retract(jnp.asarray(step),
-                        jnp.asarray([0, yaw, 0, 0, 0, 0], np.float32))
-        )
+        c, s = np.cos(yaws[i]), np.sin(yaws[i])
+        d = np.array([[c, 0.0, s, 0.0],
+                      [0.0, 1.0, 0.0, 0.0],
+                      [-s, 0.0, c, 2.0],
+                      [0.0, 0.0, 0.0, 1.0]])
         Z[i] = d
         nodes[i + 1] = d @ nodes[i]
+    nodes = nodes.astype(np.float32)
+    Z = Z.astype(np.float32)
     pg = PoseGraph()
     pg.nodes = nodes
     pg.keyframes = list(range(N))
@@ -57,11 +64,12 @@ def make_stiff_loop_graph(N, misfit_m=0.5, seed=0):
     pg.is_loop = np.zeros(N - 1, bool)
     # loop edge: j observes i displaced by misfit_m (disagrees with chain)
     i, j = 2, N - 2
-    true_rel = nodes[j] @ np.linalg.inv(nodes[i])
-    bad_rel = np.asarray(
-        se3.retract(jnp.asarray(true_rel),
-                    jnp.asarray([0, 0, 0, misfit_m, 0, 0], np.float32))
-    )
+    true_rel = (nodes[j].astype(np.float64)
+                @ np.linalg.inv(nodes[i].astype(np.float64)))
+    # right-translation by misfit_m in x (exp of a pure-v twist), host f64
+    T_mis = np.eye(4)
+    T_mis[0, 3] = misfit_m
+    bad_rel = (true_rel @ T_mis).astype(np.float32)
     pg.add_edge(i, j, bad_rel, np.eye(6) * 1e-4, loop=True)
     return pg, (i, j)
 
