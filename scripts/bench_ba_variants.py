@@ -208,17 +208,20 @@ def make_body_phase(phase):
             X = ol @ pt
             r, Xc = residuals_mm(T, X, me, ww)
             Jp, Jl = jacobians_mm(T, X, ww, Xc)
+            # consume FULL sums everywhere: an `x[0]`-only consumer lets
+            # XLA slice the producing matmul down to one row (round-5
+            # finding: the original assemble phase read 186 ms while the
+            # real pre-solve work is ~2x that)
             if phase == "resjac":
-                acc = jnp.sum(Jp[:, 0]) + jnp.sum(Jl[:, 0]) + jnp.sum(r)
+                acc = jnp.sum(Jp) + jnp.sum(Jl) + jnp.sum(r)
             elif phase == "grad":
                 g_p = oc.T @ ba._jtr3(Jp, r)
                 g_l = ol.T @ ba._jtr3(Jl, r)
                 acc = jnp.sum(g_p) + jnp.sum(g_l)
             elif phase == "blocks":
                 blk = ba._build_blocks_onehot_bf16(Jp, Jl, r, oc, ol, P, L)
-                acc = sum(jnp.sum(b[0]) for b in blk)
-            elif phase == "assemble":
-                # everything except the Cholesky solve
+                acc = sum(jnp.sum(b) for b in blk)
+            elif phase in ("assemble", "solve"):
                 g_p, g_l, Hpp, Hll, Wc = ba._build_blocks_onehot_bf16(
                     Jp, Jl, r, oc, ol, P, L)
                 lam = 1e-4
@@ -230,20 +233,77 @@ def make_body_phase(phase):
                          + Wc[..., 2, None] * Hll_inv[:, None, None, 2, :])
                 A = jnp.transpose(WHinv, (1, 2, 0, 3)).reshape(P * 6, L * 3)
                 Bm = jnp.transpose(Wc, (1, 2, 0, 3)).reshape(P * 6, L * 3)
-                U = bf16mm(A, Bm.T)
-                ghat = g_p.reshape(-1) - A @ g_l.reshape(-1)
-                acc = jnp.sum(U[0]) + jnp.sum(ghat) + jnp.sum(Hpp_d[0])
-            else:  # full
+                U = bf16mm(A, Bm.T).reshape(P, 6, P, 6)
+                ghat = g_p - (A @ g_l.reshape(-1)).reshape(P, 6)
+                S = (Hpp_d[:, :, None, :]
+                     * jnp.eye(P)[:, None, :, None] - U)
+                S = S.reshape(P * 6, P * 6)
+                mask = jnp.concatenate([jnp.zeros(6), jnp.ones((P - 1) * 6)])
+                S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+                ghat = ghat.reshape(P * 6) * mask
+                if phase == "solve":
+                    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+                    dp = -jax.scipy.linalg.cho_solve(chol, ghat)
+                    acc = jnp.sum(dp)
+                elif phase == "factor":
+                    # factorization only — splits the solve delta into
+                    # cho_factor vs the two narrow triangular solves
+                    Lc = jax.lax.linalg.cholesky(S, symmetrize_input=False)
+                    acc = jnp.sum(Lc)
+                else:
+                    acc = jnp.sum(S) + jnp.sum(ghat)
+            elif phase == "full":
                 dp, dl = ba._schur_solve(Jp, Jl, r, ci, li, P, L, 1e-4,
-                                         onehots=(oc, ol), bf16_blocks=True)
+                                         onehots=(oc, ol), mm_passes=3)
                 acc = jnp.sum(dp) + jnp.sum(dl)
+            elif phase == "backsub_es":
+                # full, but the landmark backsub contracts Wc directly
+                # (einsum over (p,i)) instead of forming Bm.T @ dp — tests
+                # whether the (P6, L3) transpose materialization is the
+                # backsub's cost
+                g_p, g_l, Hpp, Hll, Wc = ba._build_blocks_onehot_bf16(
+                    Jp, Jl, r, oc, ol, P, L)
+                lam = 1e-4
+                eyeP = jnp.eye(6); eyeL = jnp.eye(3)
+                Hpp_d = Hpp + lam * eyeP[None]
+                Hll_inv = ba._inv3x3(Hll + lam * eyeL[None] + 1e-8 * eyeL[None])
+                WHinv = (Wc[..., 0, None] * Hll_inv[:, None, None, 0, :]
+                         + Wc[..., 1, None] * Hll_inv[:, None, None, 1, :]
+                         + Wc[..., 2, None] * Hll_inv[:, None, None, 2, :])
+                A = jnp.transpose(WHinv, (1, 2, 0, 3)).reshape(P * 6, L * 3)
+                Bm = jnp.transpose(Wc, (1, 2, 0, 3)).reshape(P * 6, L * 3)
+                U = bf16mm(A, Bm.T).reshape(P, 6, P, 6)
+                ghat = g_p - (A @ g_l.reshape(-1)).reshape(P, 6)
+                S = (Hpp_d[:, :, None, :]
+                     * jnp.eye(P)[:, None, :, None] - U).reshape(P * 6, P * 6)
+                mask = jnp.concatenate([jnp.zeros(6), jnp.ones((P - 1) * 6)])
+                S = S * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+                gh = ghat.reshape(P * 6) * mask
+                chol = jax.scipy.linalg.cho_factor(S, lower=True)
+                dp = -jax.scipy.linalg.cho_solve(chol, gh).reshape(P, 6)
+                Wt_dp = jnp.einsum("lpij,pi->lj", Wc, dp)
+                dl = -se3.mv3(Hll_inv, g_l + Wt_dp)
+                acc = jnp.sum(dp) + jnp.sum(dl)
+            else:  # step: the engine's ENTIRE LM step incl. retract +
+                # accept/reject cost pass — full minus this = scan carry
+                dp, dl = ba._schur_solve(Jp, Jl, r, ci, li, P, L, 1e-4,
+                                         onehots=(oc, ol), mm_passes=3)
+                new_po = jax.vmap(se3.retract)(po, dp)
+                new_pt = pt + dl
+                c = ba._cost(new_po, new_pt, ci, li, me, ww, calib,
+                             onehots=(oc, ol))
+                ok = jnp.isfinite(c)
+                return jnp.where(ok, new_pt, pt) + 1e-12 * c, None
             return pt + 1e-12 * acc, None
         return body
     return mk
 
 
 if "--phases" in sys.argv:
-    for ph in ("resjac", "grad", "blocks", "assemble", "full"):
+    import os
+
+    default = "resjac,grad,blocks,assemble,solve,full,step"
+    for ph in os.environ.get("PHASES", default).split(","):
         run(f"ship:{ph}", make_body_phase(ph))
 
 

@@ -83,6 +83,14 @@ def main() -> int:
     checks.append(("akaze_octave_batch",
                    lambda im, kv: pk.akaze_octave_batch(im, kv),
                    (imgs, kvals)))
+    # lanes-batched Cholesky: opt-in after losing its A/B (BENCH.md round
+    # 5), but the lowering is still gated so SLAM_TPU_CHOL_LANES=1 can't
+    # rot. Small N keeps the (N, N, LANE_B) block far from the VMEM edge.
+    spd = jnp.broadcast_to(3.0 * jnp.eye(48, dtype=jnp.float32),
+                           (64, 48, 48))
+    rhs = jnp.ones((64, 48), jnp.float32)
+    checks.append(("cholesky_solve_lanes",
+                   lambda s, g: pk.cholesky_solve_lanes(s, g), (spd, rhs)))
 
     # --- fused-kernel routing of the AKAZE detector ------------------------
     from slam_tpu.ops import akaze

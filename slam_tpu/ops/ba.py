@@ -258,6 +258,50 @@ def _inv3x3(A):
     return adj * inv_det[..., None, None]
 
 
+@jax.custom_batching.custom_vmap
+def _spd_solve(S: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve the SPD reduced pose system S x = g.
+
+    Unbatched: XLA Cholesky. Under vmap (the per-window solve inside
+    optimize_windows' window batch) the rule below can route to the
+    lanes-batched Pallas kernel (pallas_kernels.cholesky_solve_lanes) —
+    the batch axis becomes the lane axis so the factorization's
+    sequential steps are full-width VPU ops. Off by default: measured at
+    XLA parity isolated and VMEM-infeasible in-context (VERDICT r4 next
+    #7 — negative result, numbers in BENCH.md round 5)."""
+    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    return jax.scipy.linalg.cho_solve(chol, g)
+
+
+@_spd_solve.def_vmap
+def _spd_solve_vmap(axis_size, in_batched, S, g):
+    S_b, g_b = in_batched
+    if not S_b:
+        S = jnp.broadcast_to(S, (axis_size,) + S.shape)
+    if not g_b:
+        g = jnp.broadcast_to(g, (axis_size,) + g.shape)
+    import os
+
+    N = S.shape[-1]
+    # OPT-IN (SLAM_TPU_CHOL_LANES=1), kept as a measured negative result
+    # (BENCH.md round 5): isolated on chip the lanes kernel solves the
+    # 20-iter B=128 N=144 scan in 6.8 ms vs XLA's 6.4 ms — XLA's batched
+    # Cholesky is already at parity, because the solve is ~1.4% of the
+    # 457.8 ms engine iteration, not its floor (the r4 roofline
+    # misattributed). In-context the kernel doesn't even compile: lanes
+    # <128 pad to 128 under T(8,128) tiling so the (144,144,·) buffer is
+    # 10.6 MB regardless, and copy-insertion inside the LM while-body
+    # defeats the input/output alias -> 20.39 MB scoped VMEM > 16 MB.
+    if (jax.default_backend() == "tpu" and axis_size >= 32
+            and N % 8 == 0 and N <= 152
+            and os.environ.get("SLAM_TPU_CHOL_LANES", "0") == "1"):
+        from . import pallas_kernels as pk
+
+        return pk.cholesky_solve_lanes(S, g), True
+    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    return jax.scipy.linalg.cho_solve(chol, g), True
+
+
 def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
                  onehots=None, mm_passes=0):
     """Solve the damped normal equations by landmark marginalization.
@@ -297,9 +341,11 @@ def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
         U = _bf16mm(A, Bm.T, mm_passes).reshape(P, 6, P, 6)
     else:
         U = (A @ Bm.T).reshape(P, 6, P, 6)
-    S = -U
-    diag = jnp.arange(P)
-    S = S.at[diag, :, diag, :].add(Hpp_d)
+    # block-diagonal Hpp add as a broadcast multiply against eye(P) —
+    # scatter-free: the .at[diag, :, diag, :].add this replaces is an
+    # XLA scatter, measured as the BA engine's dominant cost on TPU
+    # (BENCH.md round-5 phase ablation)
+    S = Hpp_d[:, :, None, :] * jnp.eye(P, dtype=dtype)[:, None, :, None] - U
     ghat = g_p - (A @ g_l.reshape(L * 3)).reshape(P, 6)
 
     # freeze pose 0 (gauge): identity row/col, zero gradient
@@ -310,9 +356,11 @@ def _schur_solve(J_pose, J_lm, r, cam_idx, lm_idx, P, L, lam,
 
     # S is symmetric positive definite (damped GN + identity gauge rows):
     # Cholesky is the fast TPU path (LM's accept/reject absorbs any f32
-    # breakdown — a NaN step is simply rejected)
-    chol = jax.scipy.linalg.cho_factor(S, lower=True)
-    dp = -jax.scipy.linalg.cho_solve(chol, ghat).reshape(P, 6)
+    # breakdown — a NaN step is simply rejected). _spd_solve routes the
+    # batched solve (XLA batched Cholesky by default; the opt-in Pallas
+    # lanes kernel under SLAM_TPU_CHOL_LANES=1 — see its vmap rule for
+    # why it lost the A/B).
+    dp = -_spd_solve(S, ghat).reshape(P, 6)
 
     # back-substitute landmarks: dl = -Hll^-1 (g_l + W^T dp)
     Wt_dp = (Bm.T @ dp.reshape(P * 6)).reshape(L, 3)

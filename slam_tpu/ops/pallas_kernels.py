@@ -828,3 +828,140 @@ def akaze_octave_batch(imgs: jnp.ndarray, k: jnp.ndarray, steps: int = 6,
     )(k.reshape(F, 1).astype(imgs.dtype), canvas)
     sl = (slice(None), slice(0, H), slice(_APAD_C, _APAD_C + W))
     return L[sl], resp[sl], nms[sl]
+
+
+# ---------------------------------------------------------------------------
+# lanes-batched Cholesky solve (the BA Schur systems)
+# ---------------------------------------------------------------------------
+#
+# The BA latency floor (BENCH.md roofline; VERDICT r4 next #7) is ~40
+# sequential LM iterations whose core is a batched (B, 6P, 6P) SPD solve
+# with 6P = 144. XLA's vmapped cho_factor treats each window as its own
+# small matrix: the 144-step sequential factorization runs with at most
+# 144-wide vectorization and pays relayouts around it. This kernel
+# instead puts the WINDOW BATCH in the 128-wide lane dimension — layout
+# (N, N, B) — so every step of a right-looking Cholesky (scale column j,
+# rank-1 trailing update, then triangular solves) is a full-width VPU op
+# across all windows simultaneously, with no cross-lane traffic at all:
+# the algorithm's sequential axis runs over sublanes, the parallel axis
+# over lanes. One grid step factors LANE_B windows in place (the input
+# block is aliased as an output so no second (N, N, B) VMEM buffer is
+# needed) and performs both substitutions.
+#
+# OUTCOME (BENCH.md round 5): measured NEGATIVE result, kept opt-in
+# (SLAM_TPU_CHOL_LANES=1). Isolated on chip: 6.8 ms vs XLA's 6.4 ms for
+# the 20-iter B=128 N=144 damped-solve scan — XLA's batched Cholesky is
+# already at parity, and that solve is only ~1.4% of the 457.8 ms BA
+# engine iteration (the r4 roofline misattributed the floor). In the
+# full engine the kernel fails to compile: copy-insertion inside the LM
+# while-body defeats the i/o alias, and lanes <128 pad to 128 under
+# T(8,128) tiling, so scoped VMEM is 20.39 MB > 16 MB at any LANE_B.
+
+# Windows per pallas_call. Each call takes the WHOLE (N, N, LANE_B)
+# group as its block (no grid): grid pipelining double-buffers blocks,
+# and lane-tiling below the array width is not lowerable (block last-dim
+# must be 128-divisible OR equal the array dim). At LANE_B=128 / N=144
+# the scoped-VMEM allocation measured 20.39 MB > the 16 MB limit — the
+# input_output_alias does NOT collapse the in+out (N,N,B) pair in scoped
+# accounting — so the group width is 64: ~10.6 MB total, at the cost of
+# half-empty lanes. The wrapper loops over groups in Python — one
+# compiled program, re-invoked per group.
+LANE_B = 64
+
+
+def _chol_lanes_kernel(g_ref, a_in_ref, A, dx_ref, y, *, n):
+    # A is the OUTPUT ref aliased onto a_in_ref's buffer (one (N, N, B)
+    # VMEM block total — a separate scratch copy would not fit): the
+    # factorization runs in place; a_in_ref is never read.
+    del a_in_ref
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    cols3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def factor(j, _):
+        d = A[pl.ds(j, 1), pl.ds(j, 1), :]                       # (1,1,B)
+        inv_s = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+        col = A[:, pl.ds(j, 1), :]                               # (n,1,B)
+        colj = jnp.where(rows2[:, :, None] >= j, col * inv_s, 0.0)
+        A[:, pl.ds(j, 1), :] = colj
+        upd = colj * jnp.transpose(colj, (1, 0, 2))  # (n,n,B) outer prod
+        mask = (rows3 > j) & (cols3 > j)
+        A[...] = A[...] - jnp.where(mask, upd, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n, factor, 0, unroll=False)
+
+    # forward substitution  L y = g
+    y[...] = g_ref[...]
+    def fwd(j, _):
+        lj = A[pl.ds(j, 1), :, :][0]                                 # (n,B)
+        yv = y[...]                                                  # (n,B)
+        s = jnp.sum(jnp.where(rows2 < j, lj * yv, 0.0), axis=0,
+                    keepdims=True)                                   # (1,B)
+        gj = y[pl.ds(j, 1), :]
+        djj = A[pl.ds(j, 1), pl.ds(j, 1), :][:, 0]
+        y[pl.ds(j, 1), :] = (gj - s) / djj
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0, unroll=False)
+
+    # backward substitution  L^T x = y
+    dx_ref[...] = y[...]
+    def bwd(jr, _):
+        j = n - 1 - jr
+        cj = A[:, pl.ds(j, 1), :][:, 0]                              # (n,B)
+        xv = dx_ref[...]
+        s = jnp.sum(jnp.where(rows2 > j, cj * xv, 0.0), axis=0,
+                    keepdims=True)
+        yj = dx_ref[pl.ds(j, 1), :]
+        djj = A[pl.ds(j, 1), pl.ds(j, 1), :][:, 0]
+        dx_ref[pl.ds(j, 1), :] = (yj - s) / djj
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cholesky_solve_lanes(S: jnp.ndarray, g: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Solve S x = g for a batch of SPD systems, batch in the lanes.
+
+    S: (B, N, N) f32 SPD (damped, gauge rows already identity),
+    g: (B, N). Returns (B, N). B is padded to a LANE_B multiple; padded
+    lanes carry identity systems. Each LANE_B group is one ungridded
+    pallas_call (whole-array blocks: no pipeline double-buffering, so
+    the (N, N, LANE_B) working set stays within scoped VMEM)."""
+    B, N = g.shape
+    Bp = -(-B // LANE_B) * LANE_B
+    St = jnp.transpose(S, (1, 2, 0))         # (N, N, B)
+    gt = jnp.transpose(g, (1, 0))            # (N, B)
+    if Bp != B:
+        eye = jnp.broadcast_to(jnp.eye(N, dtype=S.dtype)[:, :, None],
+                               (N, N, Bp - B))
+        St = jnp.concatenate([St, eye], axis=2)
+        gt = jnp.concatenate([gt, jnp.zeros((N, Bp - B), g.dtype)], axis=1)
+
+    call = pl.pallas_call(
+        functools.partial(_chol_lanes_kernel, n=N),
+        out_shape=(jax.ShapeDtypeStruct((N, N, LANE_B), S.dtype),
+                   jax.ShapeDtypeStruct((N, LANE_B), g.dtype)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, LANE_B), g.dtype),
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )
+    outs = []
+    for b0 in range(0, Bp, LANE_B):
+        _, dx = call(gt[:, b0:b0 + LANE_B], St[:, :, b0:b0 + LANE_B])
+        outs.append(dx)
+    dx = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return jnp.transpose(dx, (1, 0))[:B]
